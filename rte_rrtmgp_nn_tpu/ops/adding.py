@@ -1,0 +1,122 @@
+"""Adding method for diffuse transport (Shonk & Hogan 2008).
+
+Reference parity: ``adding`` in ``rte/kernels/mo_rte_solver_kernels.F90
+:1526-1637`` (shared by LW 2-stream and SW 2-stream).
+
+Canonical orientation: top at layer index 0, surface below layer nlay-1.
+
+Two execution modes:
+  - "sequential": two lax.scans exactly mirroring the reference's sweeps
+    (albedo/source sweep surface->top, flux sweep top->surface).
+  - "parallel": log-depth formulation. The surface-upward sweep is a suffix
+    composition of per-layer slab operators -- combining two slabs'
+    (R, T, S_up, S_dn) is the classic associative adding/doubling rule --
+    evaluated with lax.associative_scan; the downward flux sweep is an
+    affine recurrence. This is the O(log nlay) depth version the Fortran
+    loops cannot express.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .scan import affine_scan
+
+
+def adding(albedo_sfc, rdif, tdif, src_dn, src_up, src_sfc, flux_dn_top, mode="sequential"):
+    """Compute diffuse flux_up/flux_dn at all levels.
+
+    albedo_sfc, src_sfc, flux_dn_top: (ncol, ngpt)
+    rdif, tdif, src_dn, src_up: (ncol, nlay, ngpt)
+    Returns (flux_up, flux_dn), each (ncol, nlay+1, ngpt).
+    """
+    nlay = rdif.shape[1]
+
+    if mode == "parallel":
+        albedo, src = _albedo_src_parallel(albedo_sfc, rdif, tdif, src_dn, src_up, src_sfc)
+    else:
+        albedo, src = _albedo_src_sequential(albedo_sfc, rdif, tdif, src_dn, src_up, src_sfc)
+
+    # denom (beta in SH08, Eq 10) uses the albedo *below* each layer.
+    denom = 1.0 / (1.0 - rdif * albedo[:, 1:, :])
+
+    # Downward flux sweep (SH08 Eq 13): affine recurrence
+    #   flux_dn[l+1] = (tdif[l] flux_dn[l] + rdif[l] src[l+1] + src_dn[l]) * denom[l]
+    a = tdif * denom
+    b = (rdif * src[:, 1:, :] + src_dn) * denom
+    flux_dn = affine_scan(a, b, flux_dn_top, axis=1, mode=mode)
+
+    # SH08 Eq 12 at every level.
+    flux_up = flux_dn * albedo + src
+    return flux_up, flux_dn
+
+
+def _albedo_src_sequential(albedo_sfc, rdif, tdif, src_dn, src_up, src_sfc):
+    """Surface-to-top sweep for cumulative albedo and upwelling source
+    (SH08 Eqs 9-11), as a reverse lax.scan over layers."""
+
+    def step(carry, x):
+        alb_below, src_below = carry
+        r, t, sd, su = x
+        denom = 1.0 / (1.0 - r * alb_below)  # Eq 10
+        alb = r + t * t * alb_below * denom  # Eq 9
+        src = su + t * denom * (src_below + alb_below * sd)  # Eq 11
+        return (alb, src), (alb, src)
+
+    xs = (
+        jnp.flip(jnp.moveaxis(rdif, 1, 0), 0),
+        jnp.flip(jnp.moveaxis(tdif, 1, 0), 0),
+        jnp.flip(jnp.moveaxis(src_dn, 1, 0), 0),
+        jnp.flip(jnp.moveaxis(src_up, 1, 0), 0),
+    )
+    (_, _), (albs, srcs) = jax.lax.scan(step, (albedo_sfc, src_sfc), xs)
+    # albs[k] is the albedo at level nlay-1-k; assemble levels 0..nlay.
+    albedo = jnp.concatenate([jnp.flip(albs, 0), albedo_sfc[None]], axis=0)
+    src = jnp.concatenate([jnp.flip(srcs, 0), src_sfc[None]], axis=0)
+    return jnp.moveaxis(albedo, 0, 1), jnp.moveaxis(src, 0, 1)
+
+
+def _albedo_src_parallel(albedo_sfc, rdif, tdif, src_dn, src_up, src_sfc):
+    """Log-depth suffix combination of slab operators.
+
+    Each slab is (Rt, Rb, T, Su, Sd): reflectance to illumination from above
+    (Rt) and from below (Rb), transmittance T (direction-independent by
+    reciprocity), and the upwelling/downwelling source exiting top/bottom.
+    A single two-stream layer is symmetric (Rt = Rb = rdif), but a combined
+    stack is not, so both reflectances must be carried for the combination
+    rule to stay associative. Combining slab A above stack B:
+        d   = 1 / (1 - Rb_A Rt_B)
+        Rt  = Rt_A + T_A^2 Rt_B d
+        Rb  = Rb_B + T_B^2 Rb_A d
+        T   = T_A T_B d
+        Su  = Su_A + T_A d (Su_B + Rt_B Sd_A)
+        Sd  = Sd_B + T_B d (Sd_A + Rb_A Su_B)
+    The suffix stack from layer l to the surface yields (Rt, Su) ==
+    (albedo, src) at level l; the surface is a pseudo-slab with
+    Rt = albedo_sfc, T = 0, Su = src_sfc.
+    """
+    zeros_sfc = jnp.zeros_like(albedo_sfc)
+    Rt = jnp.concatenate([rdif, albedo_sfc[:, None, :]], axis=1)
+    Rb = jnp.concatenate([rdif, zeros_sfc[:, None, :]], axis=1)
+    T = jnp.concatenate([tdif, zeros_sfc[:, None, :]], axis=1)
+    Su = jnp.concatenate([src_up, src_sfc[:, None, :]], axis=1)
+    Sd = jnp.concatenate([src_dn, zeros_sfc[:, None, :]], axis=1)
+
+    def combine(below, above):
+        # With reverse=True, associative_scan hands the accumulated *suffix*
+        # (the stack below) as the first argument and the new element (the
+        # slab above it) as the second.
+        rtb, rbb, tb, sub, sdb = below
+        rta, rba, ta, sua, sda = above
+        d = 1.0 / (1.0 - rba * rtb)
+        rt = rta + ta * ta * rtb * d
+        rb = rbb + tb * tb * rba * d
+        t = ta * tb * d
+        su = sua + ta * d * (sub + rtb * sda)
+        sd = sdb + tb * d * (sda + rba * sub)
+        return rt, rb, t, su, sd
+
+    rt, _, _, su, _ = jax.lax.associative_scan(
+        combine, (Rt, Rb, T, Su, Sd), axis=1, reverse=True
+    )
+    return rt, su

@@ -1,0 +1,313 @@
+"""Longwave RTE solvers.
+
+Reference parity: ``rte/kernels/mo_rte_solver_kernels.F90`` --
+``lw_solver_noscat`` (:119-330), ``lw_solver_noscat_GaussQuad`` (:332-415),
+``lw_solver_2stream`` (:426-486), ``lw_source_noscat`` (:742-776, Clough 1992
+Eq 13 with the Blossey series expansion below tau_thresh), ``lw_two_stream``
+(:1018-1069, Meador-Weaver with LW diffusivity secant 1.66),
+``lw_source_2str`` (:1112-1162, Toon 1989), Tang-2018 rescaling
+(``lw_transport_1rescl`` :1729-1795 with Cn = 0.4*wb/scaleTau :211-233), and
+the Gauss quadrature table of ``rte/mo_rte_lw.F90:113-125``.
+
+TPU-first design:
+  - arrays are (ncol, nlay, ngpt), g-points minor (lane dim).
+  - all transports are affine layer recurrences solved with
+    ``ops.scan.affine_scan`` (lax.scan or log-depth associative scan).
+  - orientation is canonicalized to top-at-index-0 by flipping, so both
+    vertical orientations share one code path. (The reference's
+    ``lw_source_noscat`` computes sources in the top-at-1 convention
+    regardless of orientation and relies on the transport branches; flipping
+    makes the vertical-reverse invariant hold by construction.)
+  - no data-dependent control flow: the tau_thresh branch is jnp.where, the
+    quadrature-angle loop is unrolled (nmus <= 4, static).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import config
+from .scan import affine_scan, affine_scan_reverse
+from .adding import adding
+
+# Gauss quadrature secants/weights, Table 2 of Clough et al. 1992
+# (reference rte/mo_rte_lw.F90:113-125). Row n-1 holds the n-angle set.
+GAUSS_DS = np.array(
+    [
+        [1.66, 0.0, 0.0, 0.0],  # diffusivity angle
+        [1.18350343, 2.81649655, 0.0, 0.0],
+        [1.09719858, 1.69338507, 4.70941630, 0.0],
+        [1.06056257, 1.38282560, 2.40148179, 7.15513024],
+    ]
+)
+GAUSS_WTS = np.array(
+    [
+        [0.5, 0.0, 0.0, 0.0],
+        [0.3180413817, 0.1819586183, 0.0, 0.0],
+        [0.2009319137, 0.2292411064, 0.0698269799, 0.0],
+        [0.1355069134, 0.2034645680, 0.1298475476, 0.0311809710],
+    ]
+)
+
+
+def _exp(x):
+    if config.fast_exponential:
+        # Pade approximant applied to x/8, squared three times
+        # (reference exp_fast, mo_rte_solver_kernels.F90:90-106).
+        ex = 1.0 / (1.0 + x * (-0.125 + x * (0.0078125 - 0.000325520833333333 * x)))
+        ex = ex * ex
+        ex = ex * ex
+        return ex * ex
+    return jnp.exp(x)
+
+
+def _flip_lay(x):
+    return jnp.flip(x, axis=1)
+
+
+class LWSolution(NamedTuple):
+    """Spectral fluxes (ncol, nlay+1, ngpt), W/m2, level 0 = top of domain
+    in the caller's orientation."""
+
+    flux_up: jnp.ndarray
+    flux_dn: jnp.ndarray
+    flux_up_jac: Optional[jnp.ndarray] = None
+
+
+def lw_source_noscat(tau_loc, trans, lay_source, lev_source):
+    """Linear-in-tau layer sources (canonical top-at-0).
+
+    Returns (source_dn, source_up), each (ncol, nlay, ngpt).
+    source_dn exits the layer bottom (level l+1), source_up the top (level l).
+    """
+    dtype = tau_loc.dtype
+    tau_thresh = jnp.sqrt(jnp.finfo(dtype).eps)
+    lev_top = lev_source[:, :-1, :]
+    lev_bot = lev_source[:, 1:, :]
+    if config.use_pade_source:
+        # Pade form of Clough et al. 1992 Eq 15 (reference use_Pade_source).
+        coeff = 0.2 * tau_loc
+        one_m_t = 1.0 - trans
+        source_up = one_m_t * (lay_source + coeff * lev_top) / (1.0 + coeff)
+        source_dn = one_m_t * (lay_source + coeff * lev_bot) / (1.0 + coeff)
+        return source_dn, source_up
+    fact = jnp.where(
+        tau_loc > tau_thresh,
+        (1.0 - trans) / jnp.maximum(tau_loc, jnp.finfo(dtype).tiny) - trans,
+        tau_loc * (0.5 - (1.0 / 3.0) * tau_loc),
+    )
+    one_m_t = 1.0 - trans
+    source_dn = one_m_t * lev_bot + 2.0 * fact * (lay_source - lev_bot)
+    source_up = one_m_t * lev_top + 2.0 * fact * (lay_source - lev_top)
+    return source_dn, source_up
+
+
+def _lw_solver_noscat_1angle(
+    tau,
+    lay_source,
+    lev_source,
+    sfc_emis,
+    sfc_source,
+    inc_flux,
+    D,
+    weight,
+    sfc_source_jac=None,
+    ssa=None,
+    g=None,
+    do_rescaling=False,
+    scan_mode="sequential",
+):
+    """Single-angle no-scattering solve, canonical top-at-0 orientation.
+
+    tau: (ncol, nlay, ngpt); D: (ncol, ngpt) secants; weight: scalar.
+    Returns LWSolution of spectral fluxes.
+    """
+    dtype = tau.dtype
+    two_pi_w = jnp.asarray(2.0 * np.pi * weight, dtype)
+
+    if do_rescaling:
+        # Tang et al. 2018 scaling for scattering within a no-scat transport
+        # (reference mo_rte_solver_kernels.F90:211-233).
+        wb = ssa * (1.0 - g) * 0.5
+        scale_tau = 1.0 - ssa + wb
+        Cn = 0.4 * wb / scale_tau
+        tau_loc = tau * D[:, None, :] * scale_tau
+        trans = jnp.exp(-tau_loc)
+        An = 1.0 - trans * trans
+    else:
+        tau_loc = tau * D[:, None, :]
+        trans = _exp(-tau_loc)
+
+    source_dn, source_up = lw_source_noscat(tau_loc, trans, lay_source, lev_source)
+
+    # Downward: intensity BC at top, affine recurrence through layers.
+    rad_top = inc_flux / two_pi_w
+    rad_dn = affine_scan(trans, source_dn, rad_top, axis=1, mode=scan_mode)
+
+    # Surface reflection + emission (reference :269).
+    rad_sfc = rad_dn[:, -1, :] * (1.0 - sfc_emis) + sfc_emis * sfc_source
+
+    if do_rescaling:
+        # Upward with adjustment from the downward radiances
+        # (lw_transport_1rescl, top_at_1 branch).
+        adj_up = Cn * (An * rad_dn[:, :-1, :] - trans * source_dn - source_up)
+        rad_up = affine_scan_reverse(trans, source_up + adj_up, rad_sfc, axis=1, mode=scan_mode)
+        # Second downward pass with adjustment from the upward radiances.
+        adj_dn = Cn * (An * rad_up[:, :-1, :] - trans * source_up - source_dn)
+        rad_dn = affine_scan(trans, source_dn + adj_dn, rad_top, axis=1, mode=scan_mode)
+    else:
+        rad_up = affine_scan_reverse(trans, source_up, rad_sfc, axis=1, mode=scan_mode)
+
+    flux_up_jac = None
+    if sfc_source_jac is not None:
+        # Jacobian propagates with transmission only: cumulative product of
+        # trans from the surface upward == exp(-reverse-cumsum(tau_loc)).
+        jac_sfc = sfc_emis * sfc_source_jac
+        cum = jnp.cumsum(jnp.flip(tau_loc, 1), axis=1)
+        prod_up = jnp.flip(jnp.exp(-cum), 1)  # (ncol, nlay, ngpt): prod of trans[l..]
+        flux_up_jac = jnp.concatenate(
+            [prod_up * jac_sfc[:, None, :], jac_sfc[:, None, :]], axis=1
+        ) * two_pi_w
+
+    return LWSolution(rad_up * two_pi_w, rad_dn * two_pi_w, flux_up_jac)
+
+
+def lw_solver_noscat(
+    tau,
+    lay_source,
+    lev_source,
+    sfc_emis,
+    sfc_source,
+    inc_flux=None,
+    top_at_1=True,
+    n_gauss_angles=1,
+    lw_ds=None,
+    sfc_source_jac=None,
+    ssa=None,
+    g=None,
+    do_rescaling=False,
+    scan_mode="sequential",
+) -> LWSolution:
+    """No-scattering LW solve with first-order Gaussian quadrature.
+
+    Reference parity: lw_solver_noscat_GaussQuad (mo_rte_solver_kernels
+    .F90:332-415). ``lw_ds`` (ncol, ngpt) optional per-g-point secants
+    (the optimal-angle path, mo_rte_lw.F90:329-341) -- used with one angle.
+    """
+    ncol, nlay, ngpt = tau.shape
+    dtype = tau.dtype
+    if inc_flux is None:
+        inc_flux = jnp.zeros((ncol, ngpt), dtype)
+
+    if not top_at_1:
+        tau, lay_source = _flip_lay(tau), _flip_lay(lay_source)
+        lev_source = _flip_lay(lev_source)
+        if ssa is not None:
+            ssa, g = _flip_lay(ssa), _flip_lay(g)
+
+    if lw_ds is not None:
+        sols = [
+            _lw_solver_noscat_1angle(
+                tau, lay_source, lev_source, sfc_emis, sfc_source, inc_flux,
+                lw_ds.astype(dtype), GAUSS_WTS[0, 0], sfc_source_jac,
+                ssa, g, do_rescaling, scan_mode,
+            )
+        ]
+    else:
+        n = n_gauss_angles
+        if not 1 <= n <= 4:
+            raise ValueError("n_gauss_angles must be in 1..4")
+        sols = []
+        for imu in range(n):
+            D = jnp.full((ncol, ngpt), GAUSS_DS[n - 1, imu], dtype)
+            sols.append(
+                _lw_solver_noscat_1angle(
+                    tau, lay_source, lev_source, sfc_emis, sfc_source, inc_flux,
+                    D, GAUSS_WTS[n - 1, imu], sfc_source_jac,
+                    ssa, g, do_rescaling, scan_mode,
+                )
+            )
+
+    flux_up = sum(s.flux_up for s in sols)
+    flux_dn = sum(s.flux_dn for s in sols)
+    jac = None if sfc_source_jac is None else sum(s.flux_up_jac for s in sols)
+
+    if not top_at_1:
+        flux_up, flux_dn = _flip_lay(flux_up), _flip_lay(flux_dn)
+        jac = None if jac is None else _flip_lay(jac)
+    return LWSolution(flux_up, flux_dn, jac)
+
+
+def lw_two_stream(tau, ssa, g):
+    """Meador-Weaver diffuse reflectance/transmittance with LW diffusivity
+    secant 1.66 (reference lw_two_stream, :1018-1069).
+
+    Returns (gamma1, gamma2, rdif, tdif)."""
+    dtype = tau.dtype
+    lw_diff_sec = jnp.asarray(1.66, dtype)
+    gamma1 = lw_diff_sec * (1.0 - 0.5 * ssa * (1.0 + g))  # Fu et al. Eq 2.9
+    gamma2 = lw_diff_sec * 0.5 * ssa * (1.0 - g)  # Fu et al. Eq 2.10
+    k = jnp.sqrt(jnp.maximum((gamma1 - gamma2) * (gamma1 + gamma2), config.k_min))
+    e1 = _exp(-tau * k)
+    e2 = e1 * e1
+    rt_term = 1.0 / (k * (1.0 + e2) + gamma1 * (1.0 - e2))
+    rdif = rt_term * gamma2 * (1.0 - e2)  # MW Eq 25
+    tdif = rt_term * 2.0 * k * e1  # MW Eq 26
+    return gamma1, gamma2, rdif, tdif
+
+
+def lw_source_2str(sfc_emis, sfc_source, lay_source, lev_source, gamma1, gamma2, rdif, tdif, tau):
+    """Toon et al. 1989 two-stream sources (canonical top-at-0; reference
+    lw_source_2str, :1112-1162). Factor pi converts radiance to flux."""
+    dtype = tau.dtype
+    pi = jnp.asarray(np.pi, dtype)
+    lev_top = lev_source[:, :-1, :]
+    lev_bot = lev_source[:, 1:, :]
+    big = tau > 1.0e-8
+    denom = jnp.where(big, tau * (gamma1 + gamma2), 1.0)
+    Z = jnp.where(big, (lev_bot - lev_top) / denom, 0.0)
+    Zup_top = Z + lev_top
+    Zup_bot = Z + lev_bot
+    Zdn_top = -Z + lev_top
+    Zdn_bot = -Z + lev_bot
+    source_up = jnp.where(big, pi * (Zup_top - rdif * Zdn_top - tdif * Zup_bot), 0.0)
+    source_dn = jnp.where(big, pi * (Zdn_bot - rdif * Zup_bot - tdif * Zdn_top), 0.0)
+    source_sfc = pi * sfc_emis * sfc_source
+    return source_dn, source_up, source_sfc
+
+
+def lw_solver_2stream(
+    tau,
+    ssa,
+    g,
+    lay_source,
+    lev_source,
+    sfc_emis,
+    sfc_source,
+    inc_flux=None,
+    top_at_1=True,
+    scan_mode="sequential",
+) -> LWSolution:
+    """Two-stream LW with scattering (reference lw_solver_2stream, :426-486)."""
+    ncol, nlay, ngpt = tau.shape
+    dtype = tau.dtype
+    if inc_flux is None:
+        inc_flux = jnp.zeros((ncol, ngpt), dtype)
+
+    if not top_at_1:
+        tau, ssa, g = _flip_lay(tau), _flip_lay(ssa), _flip_lay(g)
+        lay_source, lev_source = _flip_lay(lay_source), _flip_lay(lev_source)
+
+    gamma1, gamma2, rdif, tdif = lw_two_stream(tau, ssa, g)
+    source_dn, source_up, source_sfc = lw_source_2str(
+        sfc_emis, sfc_source, lay_source, lev_source, gamma1, gamma2, rdif, tdif, tau
+    )
+    sfc_albedo = 1.0 - sfc_emis
+    flux_up, flux_dn = adding(
+        sfc_albedo, rdif, tdif, source_dn, source_up, source_sfc, inc_flux, mode=scan_mode
+    )
+    if not top_at_1:
+        flux_up, flux_dn = _flip_lay(flux_up), _flip_lay(flux_dn)
+    return LWSolution(flux_up, flux_dn, None)

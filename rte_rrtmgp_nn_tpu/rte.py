@@ -1,0 +1,151 @@
+"""Top-level RTE drivers: ``rte_lw`` and ``rte_sw``.
+
+Reference parity: ``rte/mo_rte_lw.F90`` (validation, band-emissivity
+expansion, dispatch by optical-props type: 1scl -> no-scat Gauss-quad with
+optional per-g-point optimal secants, 2str -> two-stream or Tang-rescaled
+no-scat, nstr -> not implemented) and ``rte/mo_rte_sw.F90`` (1scl ->
+direct-beam only, 2str -> two-stream+adding; per-g-point albedos supplied
+by the caller, as in this fork).
+
+TPU-first: pure functions returning spectral fluxes (plus optional
+broadband-reduced containers); everything jit-friendly with static
+configuration arguments.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from .config import config
+from .fluxes import FluxesBroadband, reduce_broadband
+from .optical_props import OpticalProps1scl, OpticalProps2str, OpticalPropsNstr
+from .ops.lw_solver import LWSolution, lw_solver_2stream, lw_solver_noscat
+from .ops.sw_solver import SWSolution, sw_solver_2stream, sw_solver_noscat
+from .sources import SourceFuncLW
+
+
+def rte_lw(
+    optical_props,
+    top_at_1: bool,
+    sources: SourceFuncLW,
+    sfc_emis: jnp.ndarray,
+    inc_flux: Optional[jnp.ndarray] = None,
+    n_gauss_angles: int = 1,
+    use_2stream: bool = False,
+    lw_ds: Optional[jnp.ndarray] = None,
+    compute_jac: bool = False,
+    scan_mode: str = "sequential",
+) -> LWSolution:
+    """Longwave transport. sfc_emis is per band (ncol, nband), expanded to
+    g-points here (reference mo_rte_lw.F90:295-303).
+
+    Returns spectral fluxes; apply fluxes.reduce_* for diagnostics.
+    """
+    spectral = optical_props.spectral
+    if config.check_extents:
+        ncol, nlay, ngpt = optical_props.tau.shape
+        if sources.lay_source.shape != (ncol, nlay, ngpt):
+            raise ValueError("rte_lw: sources inconsistently sized")
+        if sfc_emis.shape != (ncol, spectral.nband):
+            raise ValueError("rte_lw: sfc_emis must be (ncol, nband)")
+
+    sfc_emis_gpt = spectral.expand(sfc_emis)
+    jac = sources.sfc_source_jac if (compute_jac or config.compute_jac) else None
+
+    if isinstance(optical_props, OpticalProps1scl):
+        return lw_solver_noscat(
+            optical_props.tau,
+            sources.lay_source,
+            sources.lev_source,
+            sfc_emis_gpt,
+            sources.sfc_source,
+            inc_flux=inc_flux,
+            top_at_1=top_at_1,
+            n_gauss_angles=n_gauss_angles,
+            lw_ds=lw_ds,
+            sfc_source_jac=jac,
+            scan_mode=scan_mode,
+        )
+    if isinstance(optical_props, OpticalProps2str):
+        if use_2stream:
+            return lw_solver_2stream(
+                optical_props.tau,
+                optical_props.ssa,
+                optical_props.g,
+                sources.lay_source,
+                sources.lev_source,
+                sfc_emis_gpt,
+                sources.sfc_source,
+                inc_flux=inc_flux,
+                top_at_1=top_at_1,
+                scan_mode=scan_mode,
+            )
+        # Tang-2018 rescaled no-scattering solution (reference :357-389).
+        return lw_solver_noscat(
+            optical_props.tau,
+            sources.lay_source,
+            sources.lev_source,
+            sfc_emis_gpt,
+            sources.sfc_source,
+            inc_flux=inc_flux,
+            top_at_1=top_at_1,
+            n_gauss_angles=n_gauss_angles,
+            sfc_source_jac=jac,
+            ssa=optical_props.ssa,
+            g=optical_props.g,
+            do_rescaling=True,
+            scan_mode=scan_mode,
+        )
+    if isinstance(optical_props, OpticalPropsNstr):
+        raise NotImplementedError(
+            "rte_lw(...nstr...) not yet implemented"  # parity: mo_rte_lw.F90:391-395
+        )
+    raise TypeError(f"rte_lw: unknown optical props {type(optical_props)}")
+
+
+def rte_sw(
+    optical_props,
+    top_at_1: bool,
+    mu0: jnp.ndarray,
+    inc_flux: jnp.ndarray,
+    sfc_alb_dir: jnp.ndarray,
+    sfc_alb_dif: jnp.ndarray,
+    inc_flux_dif: Optional[jnp.ndarray] = None,
+    scan_mode: str = "sequential",
+) -> SWSolution:
+    """Shortwave transport (reference mo_rte_sw.F90:48-242).
+
+    mu0: (ncol,) cosine of solar zenith angle (positive).
+    inc_flux: (ncol, ngpt) TOA direct spectral flux.
+    sfc_alb_dir / sfc_alb_dif: (ncol, ngpt) -- ALREADY per g-point, matching
+    this fork's convention of expanding outside the solver.
+    """
+    if config.check_extents:
+        ncol, nlay, ngpt = optical_props.tau.shape
+        for nm, a, shp in [
+            ("mu0", mu0, (ncol,)),
+            ("inc_flux", inc_flux, (ncol, ngpt)),
+            ("sfc_alb_dir", sfc_alb_dir, (ncol, ngpt)),
+            ("sfc_alb_dif", sfc_alb_dif, (ncol, ngpt)),
+        ]:
+            if a.shape != shp:
+                raise ValueError(f"rte_sw: {nm} has shape {a.shape}, want {shp}")
+
+    if isinstance(optical_props, OpticalProps1scl):
+        flux_dir = sw_solver_noscat(optical_props.tau, mu0, inc_flux, top_at_1=top_at_1)
+        return SWSolution(jnp.zeros_like(flux_dir), flux_dir, flux_dir)
+    if isinstance(optical_props, OpticalProps2str):
+        return sw_solver_2stream(
+            optical_props.tau,
+            optical_props.ssa,
+            optical_props.g,
+            mu0,
+            inc_flux,
+            sfc_alb_dir,
+            sfc_alb_dif,
+            inc_flux_dif=inc_flux_dif,
+            top_at_1=top_at_1,
+            scan_mode=scan_mode,
+        )
+    raise TypeError(f"rte_sw: unsupported optical props {type(optical_props)}")
