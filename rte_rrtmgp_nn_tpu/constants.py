@@ -13,12 +13,12 @@ import math
 class PhysicalConstants:
     # Boltzmann constant [J/K]
     k_boltz: float = 1.380649e-23
-    # Molar mass of water [g/mol]
-    m_h2o: float = 18.016
+    # Molar mass of water [kg/mol]
+    m_h2o: float = 0.018016
     # Avogadro's number [molec/mol]
     avogad: float = 6.02214076e23
-    # Molar mass of dry air [g/mol]
-    m_dry: float = 28.964
+    # Molar mass of dry air [kg/mol]
+    m_dry: float = 0.028964
     # Gravity at earth's surface [m/s2]
     grav: float = 9.80665
     # Specific heat at constant pressure for dry air [J/(K kg)]

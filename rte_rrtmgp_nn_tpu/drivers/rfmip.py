@@ -1,0 +1,175 @@
+"""RFMIP clear-sky drivers: the flagship end-to-end paths.
+
+Reference parity: ``examples/rfmip-clear-sky/rrtmgp_rfmip_lw.F90`` and
+``rrtmgp_rfmip_sw.F90`` -- block loop over columns calling NN (or LUT) gas
+optics then the RTE solver; SW adds TSI renormalization of the TOA source
+(:407-427), night-column masking via sza >= 90 deg (:283-288, zeroed after
+the solve :455-459), and band-albedo expansion to g-points.
+
+TPU-first: one jitted function over the whole (sharded) column batch
+replaces the OpenMP block loop; blocks become shards of the column axis.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fluxes import FluxesBroadband, reduce_broadband
+from ..gas_concs import GasConcs
+from ..gasoptics.nn_gas_optics import gas_optics_lw_nn, gas_optics_sw_nn, interp_tlev
+from ..gasoptics.planck import (
+    PlanckTable,
+    lw_spectral_g128,
+    sw_spectral_g112,
+    planck_band_radiance,
+)
+from ..models.network import NNModel
+from ..optical_props import OpticalProps1scl, OpticalProps2str
+from ..rte import rte_lw, rte_sw
+from ..spectral import SpectralMapping
+from .rfmip_io import RFMIPData
+
+
+def default_solar_source(spectral: SpectralMapping, tsi: float = 1360.85) -> np.ndarray:
+    """Per-g-point TOA solar flux [W/m2] summing to ``tsi``.
+
+    Without the k-distribution file's NRLSSI2 terms we distribute the TSI
+    across bands with a 5777 K Planck spectrum (uniform within a band).
+    The SW driver's TSI renormalization (reference :407-427) makes the
+    *total* exact regardless; only the spectral shape is approximate. When a
+    k-distribution file is available its ``solar_source_quiet`` + facular /
+    sunspot terms are used instead (gasoptics/kdist.py).
+    """
+    band_b = planck_band_radiance(np.array([5777.0]), spectral.band_lims_wvn_array)[0]
+    frac = band_b / band_b.sum()
+    out = np.zeros(spectral.ngpt)
+    for ib, (s, e) in enumerate(spectral.band_lims_gpt):
+        out[s:e] = tsi * frac[ib] / (e - s)
+    return out
+
+
+def _lw_core(
+    models: Sequence[NNModel],
+    planck_table: PlanckTable,
+    spectral: SpectralMapping,
+    play, plev, tlay, tlev, tsfc, sfc_emis_band, concs_dict,
+    top_at_1: bool,
+    n_gauss_angles: int,
+    scan_mode: str,
+):
+    gas_desc = GasConcs(concs_dict)
+    tau, sources = gas_optics_lw_nn(
+        models, play, plev, tlay, tsfc, gas_desc, spectral, planck_table,
+        tlev=tlev, top_at_1=top_at_1,
+    )
+    optical_props = OpticalProps1scl(tau, spectral)
+    sol = rte_lw(
+        optical_props, top_at_1, sources, sfc_emis_band,
+        n_gauss_angles=n_gauss_angles, scan_mode=scan_mode,
+    )
+    return reduce_broadband(sol.flux_up, sol.flux_dn)
+
+
+def rfmip_clear_sky_lw(
+    data: RFMIPData,
+    models: Sequence[NNModel],
+    spectral: Optional[SpectralMapping] = None,
+    planck_table: Optional[PlanckTable] = None,
+    n_gauss_angles: int = 1,
+    scan_mode: str = "sequential",
+    dtype=jnp.float32,
+) -> FluxesBroadband:
+    """End-to-end LW clear-sky flux computation with NN gas optics
+    (reference rrtmgp_rfmip_lw.F90 main loop, :368-446)."""
+    spectral = spectral or lw_spectral_g128()
+    planck_table = planck_table or PlanckTable.compute(spectral.band_lims_wvn_array, dtype=dtype)
+
+    sfc_emis_band = jnp.broadcast_to(
+        jnp.asarray(data.sfc_emis, dtype)[:, None], (data.ncol, spectral.nband)
+    )
+    core = functools.partial(
+        _lw_core, models, planck_table, spectral,
+        top_at_1=data.top_at_1, n_gauss_angles=n_gauss_angles, scan_mode=scan_mode,
+    )
+    jitted = jax.jit(core)
+    return jitted(
+        jnp.asarray(data.play, dtype),
+        jnp.asarray(data.plev, dtype),
+        jnp.asarray(data.tlay, dtype),
+        jnp.asarray(data.tlev, dtype),
+        jnp.asarray(data.tsfc, dtype),
+        sfc_emis_band,
+        {k: jnp.asarray(v, dtype) for k, v in data.gas_concs.concs.items()},
+    )
+
+
+def _sw_core(
+    models: Sequence[NNModel],
+    spectral: SpectralMapping,
+    solar_source,
+    play, plev, tlay, sfc_alb, mu0, usecol, tsi, concs_dict,
+    top_at_1: bool,
+    scan_mode: str,
+):
+    gas_desc = GasConcs(concs_dict)
+    tau, ssa, toa_src = gas_optics_sw_nn(
+        models, play, plev, tlay, gas_desc, spectral, solar_source
+    )
+    # TSI renormalization (reference rrtmgp_rfmip_sw.F90:407-427).
+    toa_src = toa_src * (tsi / jnp.sum(toa_src, axis=-1))[:, None]
+    g = jnp.zeros_like(tau)  # NN SW path: asymmetry zero (:542-569)
+    optical_props = OpticalProps2str(tau, ssa, g, spectral)
+    # albedo already per g-point: expand band-less (single) albedo
+    alb_gpt = sfc_alb[:, None] * jnp.ones_like(toa_src)
+    mu0_safe = jnp.where(usecol, mu0, 1.0)
+    sol = rte_sw(
+        optical_props, top_at_1, mu0_safe, toa_src, alb_gpt, alb_gpt,
+        scan_mode=scan_mode,
+    )
+    fb = reduce_broadband(sol.flux_up, sol.flux_dn, gpt_flux_dn_dir=sol.flux_dn_dir)
+    # Night columns: zero fluxes (reference :455-459).
+    mask = usecol[:, None]
+    return FluxesBroadband(
+        flux_up=jnp.where(mask, fb.flux_up, 0.0),
+        flux_dn=jnp.where(mask, fb.flux_dn, 0.0),
+        flux_net=jnp.where(mask, fb.flux_net, 0.0),
+        flux_dn_dir=jnp.where(mask, fb.flux_dn_dir, 0.0),
+    )
+
+
+def rfmip_clear_sky_sw(
+    data: RFMIPData,
+    models: Sequence[NNModel],
+    spectral: Optional[SpectralMapping] = None,
+    solar_source: Optional[np.ndarray] = None,
+    scan_mode: str = "sequential",
+    dtype=jnp.float32,
+) -> FluxesBroadband:
+    """End-to-end SW clear-sky flux computation with NN gas optics
+    (reference rrtmgp_rfmip_sw.F90)."""
+    spectral = spectral or sw_spectral_g112()
+    if solar_source is None:
+        solar_source = default_solar_source(spectral)
+
+    mu0 = np.cos(np.deg2rad(data.sza))
+    usecol = data.sza < 90.0 - 0.5 * np.finfo(np.float32).eps  # day columns
+
+    core = functools.partial(
+        _sw_core, models, spectral, jnp.asarray(solar_source, dtype),
+        top_at_1=data.top_at_1, scan_mode=scan_mode,
+    )
+    jitted = jax.jit(core)
+    return jitted(
+        jnp.asarray(data.play, dtype),
+        jnp.asarray(data.plev, dtype),
+        jnp.asarray(data.tlay, dtype),
+        jnp.asarray(data.sfc_alb, dtype),
+        jnp.asarray(mu0, dtype),
+        jnp.asarray(usecol),
+        jnp.asarray(data.tsi, dtype),
+        {k: jnp.asarray(v, dtype) for k, v in data.gas_concs.concs.items()},
+    )

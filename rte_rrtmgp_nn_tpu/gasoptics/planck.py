@@ -1,0 +1,182 @@
+"""Planck source computation.
+
+Reference parity: ``compute_Planck_source_nn``
+(rrtmgp/kernels/mo_gas_optics_kernels.F90:615-683): per-band linear
+interpolation of the band-integrated Planck table ``totplnk`` at layer /
+level / surface temperatures, multiplied by the (NN-predicted or
+LUT-interpolated) Planck fraction per g-point; the surface Jacobian is a
+1 K finite difference (delta_Tsurf = 1, :558).
+
+The ``totplnk`` table normally ships inside the k-distribution file. Because
+it is pure physics -- the spectral integral of the Planck function over each
+band's wavenumber range -- this module can also compute it from first
+principles (``compute_totplnk``), which keeps the NN gas-optics path fully
+functional without the (externally staged) k-distribution file and provides
+an independent cross-check of loaded tables.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import constants
+from ..spectral import SpectralMapping
+
+# Standard RRTMGP longwave band limits [cm-1], 16 bands (public RRTMGP data).
+LW_BAND_LIMS_WVN = np.array(
+    [
+        [10.0, 250.0], [250.0, 500.0], [500.0, 630.0], [630.0, 700.0],
+        [700.0, 820.0], [820.0, 980.0], [980.0, 1080.0], [1080.0, 1180.0],
+        [1180.0, 1390.0], [1390.0, 1480.0], [1480.0, 1800.0], [1800.0, 2080.0],
+        [2080.0, 2250.0], [2250.0, 2380.0], [2380.0, 2600.0], [2600.0, 3250.0],
+    ]
+)
+# Standard RRTMGP shortwave band limits [cm-1], 14 bands.
+SW_BAND_LIMS_WVN = np.array(
+    [
+        [820.0, 2680.0], [2680.0, 3250.0], [3250.0, 4000.0], [4000.0, 4650.0],
+        [4650.0, 5150.0], [5150.0, 6150.0], [6150.0, 7700.0], [7700.0, 8050.0],
+        [8050.0, 12850.0], [12850.0, 16000.0], [16000.0, 22650.0],
+        [22650.0, 29000.0], [29000.0, 38000.0], [38000.0, 50000.0],
+    ]
+)
+
+
+# G-points per band for the reduced 210809 k-distributions. The LW counts
+# are recovered from the shipped planck_frac NN models: Planck fractions sum
+# to 1 within each band, and the cumulative sum of the model's mean pfrac
+# over the RFMIP dataset crosses each integer to within 3e-3 exactly at
+# these boundaries. The SW counts are recovered from the absorption model's
+# per-band ascending-k sawtooth (g-points are sorted by absorption within a
+# band, so band starts appear as sharp drops in column optical depth); the
+# 96..103 / 104..108 boundary is inferred from the band physics (visible
+# band nearly absorption-free, Hartley ozone bands strongly absorbing).
+# When a real k-distribution file is available, its band_lims_gpt override
+# these (gasoptics/kdist.py).
+LW_G128_GPT_PER_BAND = (10, 14, 13, 13, 13, 5, 7, 6, 10, 7, 8, 8, 5, 3, 2, 4)
+SW_G112_GPT_PER_BAND = (10, 8, 11, 8, 9, 10, 11, 4, 9, 9, 7, 8, 5, 3)
+
+
+def _mapping_from_counts(counts, band_lims_wvn) -> SpectralMapping:
+    ends = np.cumsum(counts)
+    starts = ends - np.asarray(counts)
+    return SpectralMapping.create(np.stack([starts, ends], axis=1), band_lims_wvn)
+
+
+def lw_spectral_g128() -> SpectralMapping:
+    """Spectral mapping for the g-128 LW k-distribution, matching the 210809
+    NN models' 128 outputs over the 16 standard LW bands."""
+    return _mapping_from_counts(LW_G128_GPT_PER_BAND, LW_BAND_LIMS_WVN)
+
+
+def sw_spectral_g112() -> SpectralMapping:
+    """Spectral mapping for the g-112 SW k-distribution over the 14 standard
+    SW bands."""
+    return _mapping_from_counts(SW_G112_GPT_PER_BAND, SW_BAND_LIMS_WVN)
+
+
+def planck_band_radiance(temps: np.ndarray, band_lims_wvn: np.ndarray, n_quad: int = 256) -> np.ndarray:
+    """Band-integrated Planck radiance B(T, band) [W/m2/sr].
+
+    B_nu(T) integrated over each band's wavenumber range; summed over all LW
+    bands this approaches sigma*T^4/pi. Computed on host in float64.
+    """
+    h, c, kb = constants.h_planck, constants.c_light, constants.k_boltz
+    temps = np.atleast_1d(np.asarray(temps, np.float64))
+    out = np.zeros((temps.size, band_lims_wvn.shape[0]))
+    for ib, (w1, w2) in enumerate(np.asarray(band_lims_wvn, np.float64)):
+        # Gauss-Legendre nodes over [w1, w2] in cm-1 -> m-1
+        x, w = np.polynomial.legendre.leggauss(n_quad)
+        nu = (0.5 * (x + 1.0) * (w2 - w1) + w1) * 100.0  # m^-1
+        wgt = w * 0.5 * (w2 - w1) * 100.0  # m^-1
+        # B_nu (per m^-1): 2 h c^2 nu^3 / (exp(h c nu / k T) - 1)
+        expo = np.exp(np.clip(h * c * nu[None, :] / (kb * temps[:, None]), None, 700.0))
+        b = 2.0 * h * c * c * nu[None, :] ** 3 / (expo - 1.0)
+        out[:, ib] = b @ wgt
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class PlanckTable:
+    """The totplnk table with its temperature axis metadata."""
+
+    totplnk: jnp.ndarray  # (n_temps, nband) band Planck radiance [W/m2/sr]
+    temp_ref_min: float
+    totplnk_delta: float
+
+    @staticmethod
+    def compute(band_lims_wvn: np.ndarray, t_min: float = 160.0, t_max: float = 355.0,
+                dt: float = 1.0, dtype=jnp.float32) -> "PlanckTable":
+        temps = np.arange(t_min, t_max + 0.5 * dt, dt)
+        tbl = planck_band_radiance(temps, band_lims_wvn)
+        return PlanckTable(jnp.asarray(tbl, dtype), float(t_min), float(dt))
+
+    def interpolate(self, t: jnp.ndarray) -> jnp.ndarray:
+        """Linear interpolation of the table at temperatures t (...,) ->
+        (..., nband). Matches the reference interpolate1D exactly
+        (mo_gas_optics_kernels.F90:1024-1044): index clamped, fraction NOT
+        clamped (linear extrapolation outside the table)."""
+        ntab = self.totplnk.shape[0]
+        val0 = (t - self.temp_ref_min) / self.totplnk_delta
+        idx0 = jnp.clip(val0.astype(jnp.int32), 0, ntab - 2)
+        frac = val0 - val0.astype(jnp.int32).astype(val0.dtype)
+        lo = jnp.take(self.totplnk, idx0, axis=0)
+        hi = jnp.take(self.totplnk, idx0 + 1, axis=0)
+        return lo + frac[..., None] * (hi - lo)
+
+
+jax.tree_util.register_dataclass(
+    PlanckTable, data_fields=["totplnk"], meta_fields=["temp_ref_min", "totplnk_delta"]
+)
+
+
+def compute_planck_source_nn(
+    pfrac: jnp.ndarray,
+    tlay: jnp.ndarray,
+    tlev: jnp.ndarray,
+    tsfc: jnp.ndarray,
+    spectral: SpectralMapping,
+    table: PlanckTable,
+    top_at_1: bool = True,
+    delta_tsfc: float = 1.0,
+):
+    """Planck sources from an NN-predicted Planck fraction.
+
+    pfrac: (ncol, nlay, ngpt); tlay: (ncol, nlay); tlev: (ncol, nlay+1);
+    tsfc: (ncol,). Returns (lay_source, lev_source, sfc_source,
+    sfc_source_jac) in the radiance-like units of the reference
+    (compute_Planck_source_nn, mo_gas_optics_kernels.F90:615-683).
+
+    lev_source at interior level l uses the pfrac of the layer above it in
+    the downwelling sense; following the reference, level l takes pfrac of
+    layer l (0-based: level l takes pfrac[min(l, nlay-1)]), i.e. levels
+    0..nlay-1 use their adjacent layer and the bottom level reuses the last
+    layer's fraction.
+    """
+    ncol, nlay, ngpt = pfrac.shape
+    sfc_lay = 0 if not top_at_1 else nlay - 1
+
+    def expand(bnd_vals):
+        return spectral.expand(bnd_vals)
+
+    planck_lay = expand(table.interpolate(tlay))  # (ncol, nlay, ngpt)
+    planck_lev = expand(table.interpolate(tlev))  # (ncol, nlay+1, ngpt)
+    planck_sfc = expand(table.interpolate(tsfc))  # (ncol, ngpt)
+    planck_sfc_jac = expand(table.interpolate(tsfc + delta_tsfc))
+
+    lay_source = pfrac * planck_lay
+    # pfrac at levels: level l <- pfrac of layer min(l, nlay-1) (reference
+    # assigns lev 1..nlay from layer 1..nlay and lev nlay+1 from layer nlay).
+    pfrac_lev = jnp.concatenate([pfrac, pfrac[:, -1:, :]], axis=1)
+    if not top_at_1:
+        # mirrored orientation: level l <- layer max(l-1, 0)
+        pfrac_lev = jnp.concatenate([pfrac[:, :1, :], pfrac], axis=1)
+    lev_source = pfrac_lev * planck_lev
+
+    pfrac_sfc = pfrac[:, sfc_lay, :]
+    sfc_source = pfrac_sfc * planck_sfc
+    sfc_source_jac = pfrac_sfc * (planck_sfc_jac - planck_sfc)
+    return lay_source, lev_source, sfc_source, sfc_source_jac
