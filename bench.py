@@ -1,0 +1,118 @@
+"""Benchmark: RFMIP clear-sky LW+SW with NN gas optics on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload matches the reference's headline benchmark (BASELINE.md): 1800
+columns x 60 layers, LW g-128 + SW g-112 NN gas optics + solvers. Baseline:
+the reference's best CPU numbers (Intel ifort+MKL, refactored+NN):
+LW 183.4 ms + SW 271.0 ms for 1800 columns -> 3961 columns/s.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_COLS_PER_S = 1800.0 / (0.1834 + 0.2710)  # reference Intel CPU LW+SW
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from rte_rrtmgp_nn_tpu.drivers.rfmip import (
+        _lw_core,
+        _sw_core,
+        default_solar_source,
+    )
+    from rte_rrtmgp_nn_tpu.drivers.rfmip_io import read_rfmip
+    from rte_rrtmgp_nn_tpu.gasoptics.planck import (
+        PlanckTable,
+        lw_spectral_g128,
+        sw_spectral_g112,
+    )
+    from rte_rrtmgp_nn_tpu.models.network import load_model_netcdf
+    import functools
+
+    dtype = jnp.float32
+    data = read_rfmip(
+        "/root/reference/examples/rfmip-clear-sky/"
+        "multiple_input4MIPs_radiation_RFMIP_UColorado-RFMIP-1-2_none.nc"
+    )
+    ncol = data.ncol  # 1800
+
+    D = "/root/reference/neural/data/"
+    lw_models = [load_model_netcdf(D + "lw-g128-210809_both_BEST.nc")]
+    sw_models = [
+        load_model_netcdf(D + "sw-g112-210809_absorption_BEST.nc"),
+        load_model_netcdf(D + "sw-g112-210809_rayleigh_BEST.nc"),
+    ]
+
+    lw_spec = lw_spectral_g128()
+    sw_spec = sw_spectral_g112()
+    table = PlanckTable.compute(lw_spec.band_lims_wvn_array, dtype=dtype)
+    solar = jnp.asarray(default_solar_source(sw_spec), dtype)
+
+    lw_fn = jax.jit(
+        functools.partial(
+            _lw_core, lw_models, table, lw_spec,
+            top_at_1=data.top_at_1, n_gauss_angles=1, scan_mode="sequential",
+        )
+    )
+    sw_fn = jax.jit(
+        functools.partial(
+            _sw_core, sw_models, sw_spec, solar,
+            top_at_1=data.top_at_1, scan_mode="sequential",
+        )
+    )
+
+    concs = {k: jnp.asarray(v, dtype) for k, v in data.gas_concs.concs.items()}
+    lw_args = (
+        jnp.asarray(data.play, dtype), jnp.asarray(data.plev, dtype),
+        jnp.asarray(data.tlay, dtype), jnp.asarray(data.tlev, dtype),
+        jnp.asarray(data.tsfc, dtype),
+        jnp.broadcast_to(jnp.asarray(data.sfc_emis, dtype)[:, None], (ncol, lw_spec.nband)),
+        concs,
+    )
+    mu0 = jnp.asarray(np.cos(np.deg2rad(data.sza)), dtype)
+    usecol = jnp.asarray(data.sza < 90.0)
+    sw_args = (
+        jnp.asarray(data.play, dtype), jnp.asarray(data.plev, dtype),
+        jnp.asarray(data.tlay, dtype), jnp.asarray(data.sfc_alb, dtype),
+        mu0, usecol, jnp.asarray(data.tsi, dtype), concs,
+    )
+
+    lw_args = jax.device_put(lw_args)
+    sw_args = jax.device_put(sw_args)
+
+    # warmup/compile
+    jax.block_until_ready(lw_fn(*lw_args))
+    jax.block_until_ready(sw_fn(*sw_args))
+
+    # timed steady-state
+    n_iter = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        lw = lw_fn(*lw_args)
+        sw = sw_fn(*sw_args)
+    jax.block_until_ready((lw, sw))
+    elapsed = (time.perf_counter() - t0) / n_iter
+
+    cols_per_s = ncol / elapsed
+    result = {
+        "metric": "rfmip_clearsky_lw_sw_columns_per_s_per_chip",
+        "value": round(cols_per_s, 1),
+        "unit": "columns/s",
+        "vs_baseline": round(cols_per_s / BASELINE_COLS_PER_S, 2),
+    }
+    # sanity guard: don't report garbage physics
+    mean_dn = float(np.mean(np.asarray(lw.flux_dn)))
+    if not (102.0 < mean_dn < 105.0):
+        result["warning"] = f"LW mean flux_dn {mean_dn:.3f} outside expected range"
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
