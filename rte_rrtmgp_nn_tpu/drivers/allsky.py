@@ -1,0 +1,164 @@
+"""All-sky (clouds + gases) example driver.
+
+Reference parity: ``examples/all-sky/rrtmgp_allsky.F90`` -- Garand
+atmosphere replicated to ncol columns; idealized cloud placement (clouds in
+2/3 of columns, between 100 and 900 hPa, liquid where T > 263 K and ice
+where T < 273 K, lwp = iwp = 10 g/m2, effective radii at the middle of the
+valid range; :329-350); cloud optics -> (SW) delta-scale -> increment into
+the gas optical props -> solver; ocean-ish SW albedo 0.06, mu0 = 0.86,
+LW emissivity 0.98 (:280-304).
+
+Gas optics here uses the NN path (the reference example uses the LUT path;
+its k-distribution file is not shipped). Reference smoke values from the
+LUT path (mean LW dn/up 144.14/269.76, SW dn/up 946.98/325.29;
+rrtmgp_allsky.F90:479,487) remain the comparison target at NN accuracy.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fluxes import FluxesBroadband, reduce_broadband
+from ..gas_concs import GasConcs
+from ..gasoptics.nn_gas_optics import gas_optics_lw_nn, gas_optics_sw_nn
+from ..gasoptics.planck import PlanckTable, lw_spectral_g128, sw_spectral_g112
+from ..models.network import NNModel
+from ..optical_props import OpticalProps1scl, OpticalProps2str, delta_scale, increment
+from ..rte import rte_lw, rte_sw
+from ..spectral import SpectralMapping
+from ..utils import ncio
+from .allsky_io import GarandAtmosphere  # noqa: F401 (re-export)
+from .allsky_io import read_garand
+from .rfmip import default_solar_source
+from ..extensions.cloud_optics import CloudOptics, cloud_optics
+
+
+def make_clouds(play: np.ndarray, tlay: np.ndarray, co: CloudOptics):
+    """Idealized cloud fields (reference rrtmgp_allsky.F90:329-350)."""
+    ncol, nlay = play.shape
+    icol = np.arange(ncol)[:, None] + 1  # 1-based like the reference
+    cloud_mask = (play > 100.0 * 100.0) & (play < 900.0 * 100.0) & ((icol % 3) != 0)
+    rel_val = 0.5 * (co.min_radius_liq + co.max_radius_liq)
+    rei_val = 0.5 * (co.min_radius_ice + co.max_radius_ice)
+    lwp = np.where(cloud_mask & (tlay > 263.0), 10.0, 0.0)
+    iwp = np.where(cloud_mask & (tlay < 273.0), 10.0, 0.0)
+    rel = np.where(lwp > 0.0, rel_val, 0.0)
+    rei = np.where(iwp > 0.0, rei_val, 0.0)
+    return lwp, iwp, rel, rei
+
+
+def _allsky_lw_core(
+    models, table, spectral, cloud_co,
+    play, plev, tlay, tlev, tsfc, emis_band, lwp, iwp, rel, rei, concs,
+    top_at_1, n_gauss_angles, scan_mode,
+):
+    gas_desc = GasConcs(concs)
+    tau, sources = gas_optics_lw_nn(
+        models, play, plev, tlay, tsfc, gas_desc, spectral, table,
+        tlev=tlev, top_at_1=top_at_1,
+    )
+    atmos = OpticalProps1scl(tau, spectral)
+    clouds = cloud_optics(cloud_co, lwp, iwp, rel, rei, as_2str=False)
+    atmos = increment(atmos, clouds)  # by-band broadcast add (1scl += 1scl)
+    sol = rte_lw(atmos, top_at_1, sources, emis_band,
+                 n_gauss_angles=n_gauss_angles, scan_mode=scan_mode)
+    return reduce_broadband(sol.flux_up, sol.flux_dn)
+
+
+def _allsky_sw_core(
+    models, spectral, solar, cloud_co,
+    play, plev, tlay, mu0, sfc_alb_dir, sfc_alb_dif, lwp, iwp, rel, rei, concs,
+    top_at_1, scan_mode,
+):
+    gas_desc = GasConcs(concs)
+    tau, ssa, toa_src = gas_optics_sw_nn(
+        models, play, plev, tlay, gas_desc, spectral, solar
+    )
+    atmos = OpticalProps2str(tau, ssa, jnp.zeros_like(tau), spectral)
+    clouds = cloud_optics(cloud_co, lwp, iwp, rel, rei, as_2str=True)
+    clouds = delta_scale(clouds)  # reference: clouds%delta_scale() before increment
+    atmos = increment(atmos, clouds)
+    alb_dir = spectral.expand(sfc_alb_dir)
+    alb_dif = spectral.expand(sfc_alb_dif)
+    sol = rte_sw(atmos, top_at_1, mu0, toa_src, alb_dir, alb_dif, scan_mode=scan_mode)
+    return reduce_broadband(sol.flux_up, sol.flux_dn, gpt_flux_dn_dir=sol.flux_dn_dir)
+
+
+def allsky_lw(
+    garand_path: str,
+    cloud_optics_path: str,
+    models: Sequence[NNModel],
+    ncol: int = 128,
+    spectral: Optional[SpectralMapping] = None,
+    n_gauss_angles: int = 1,
+    scan_mode: str = "sequential",
+    dtype=jnp.float32,
+) -> FluxesBroadband:
+    """Full all-sky LW run (reference rrtmgp_allsky LW branch)."""
+    spectral = spectral or lw_spectral_g128()
+    atm = read_garand(garand_path, ncol)
+    co = load_cloud_optics_checked(cloud_optics_path)
+    table = PlanckTable.compute(spectral.band_lims_wvn_array, dtype=dtype)
+    lwp, iwp, rel, rei = make_clouds(atm.play, atm.tlay, co)
+
+    top_at_1 = bool(atm.play[0, 0] < atm.play[0, -1])
+    sfc_lev = -1 if top_at_1 else 0
+    tsfc = atm.tlev[:, sfc_lev]
+    emis = jnp.full((ncol, spectral.nband), 0.98, dtype)
+
+    fn = jax.jit(functools.partial(
+        _allsky_lw_core, models, table, spectral, co,
+        top_at_1=top_at_1, n_gauss_angles=n_gauss_angles, scan_mode=scan_mode,
+    ))
+    return fn(
+        jnp.asarray(atm.play, dtype), jnp.asarray(atm.plev, dtype),
+        jnp.asarray(atm.tlay, dtype), jnp.asarray(atm.tlev, dtype),
+        jnp.asarray(tsfc, dtype), emis,
+        jnp.asarray(lwp, dtype), jnp.asarray(iwp, dtype),
+        jnp.asarray(rel, dtype), jnp.asarray(rei, dtype),
+        {k: jnp.asarray(v, dtype) for k, v in atm.gas_concs.concs.items()},
+    )
+
+
+def allsky_sw(
+    garand_path: str,
+    cloud_optics_path: str,
+    models: Sequence[NNModel],
+    ncol: int = 128,
+    spectral: Optional[SpectralMapping] = None,
+    scan_mode: str = "sequential",
+    dtype=jnp.float32,
+) -> FluxesBroadband:
+    """Full all-sky SW run (reference rrtmgp_allsky SW branch)."""
+    spectral = spectral or sw_spectral_g112()
+    atm = read_garand(garand_path, ncol)
+    co = load_cloud_optics_checked(cloud_optics_path)
+    solar = jnp.asarray(default_solar_source(spectral), dtype)
+    lwp, iwp, rel, rei = make_clouds(atm.play, atm.tlay, co)
+
+    top_at_1 = bool(atm.play[0, 0] < atm.play[0, -1])
+    mu0 = jnp.full((ncol,), 0.86, dtype)
+    alb = jnp.full((ncol, spectral.nband), 0.06, dtype)
+
+    fn = jax.jit(functools.partial(
+        _allsky_sw_core, models, spectral, solar, co,
+        top_at_1=top_at_1, scan_mode=scan_mode,
+    ))
+    return fn(
+        jnp.asarray(atm.play, dtype), jnp.asarray(atm.plev, dtype),
+        jnp.asarray(atm.tlay, dtype), mu0, alb, alb,
+        jnp.asarray(lwp, dtype), jnp.asarray(iwp, dtype),
+        jnp.asarray(rel, dtype), jnp.asarray(rei, dtype),
+        {k: jnp.asarray(v, dtype) for k, v in atm.gas_concs.concs.items()},
+    )
+
+
+def load_cloud_optics_checked(path: str) -> CloudOptics:
+    from ..extensions.cloud_optics import load_cloud_optics
+
+    return load_cloud_optics(path)

