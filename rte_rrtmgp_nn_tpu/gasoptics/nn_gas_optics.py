@@ -126,18 +126,35 @@ def predict_nn_lw(
     models: Sequence[NNModel],
     nn_inputs: jnp.ndarray,
     col_dry: jnp.ndarray,
+    use_pallas: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """LW prediction -> (tau, pfrac), each (ncol, nlay, ngpt).
 
     Two-model mode (absorption + planck_frac nets) or single combined
     "lw_both" model predicting 2*ngpt outputs split into tau || pfrac
     (predict_nn_lw_blas, mo_gas_optics_kernels.F90:690-862).
+
+    use_pallas: route through the single-pass fused Pallas kernel
+    (ops/pallas/mlp.py). Default: on TPU backends only.
     """
+    if use_pallas is None:
+        import jax
+
+        use_pallas = jax.default_backend() == "tpu"
     if len(models) == 2:
-        tau = predict_tau(models[0], nn_inputs, col_dry)
+        if use_pallas:
+            from ..ops.pallas.mlp import fused_predict_tau
+
+            tau = fused_predict_tau(models[0], nn_inputs, col_dry)
+        else:
+            tau = predict_tau(models[0], nn_inputs, col_dry)
         pfrac = predict_pfrac(models[1], nn_inputs)
         return tau, pfrac
     (model,) = models
+    if use_pallas:
+        from ..ops.pallas.mlp import fused_predict_lw_both
+
+        return fused_predict_lw_both(model, nn_inputs, col_dry)
     raw = model.apply_raw(nn_inputs)  # (..., 2*ngpt)
     ngpt = model.n_outputs // 2
     y = model.output_std[:ngpt] * raw[..., :ngpt] + model.output_mean[:ngpt]
@@ -153,12 +170,21 @@ def predict_nn_sw(
     nn_inputs: jnp.ndarray,
     col_dry: jnp.ndarray,
     with_rayleigh: bool = True,
+    use_pallas: bool | None = None,
 ):
     """SW prediction -> (tau_tot, ssa) or absorption tau only
     (predict_nn_sw_blas, mo_gas_optics_kernels.F90:869-1018)."""
-    tau_abs = predict_tau(models[0], nn_inputs, col_dry)
+    if use_pallas is None:
+        import jax
+
+        use_pallas = jax.default_backend() == "tpu"
     if not with_rayleigh:
-        return tau_abs, None
+        return predict_tau(models[0], nn_inputs, col_dry), None
+    if use_pallas:
+        from ..ops.pallas.mlp import fused_predict_sw
+
+        return fused_predict_sw(models[0], models[1], nn_inputs, col_dry)
+    tau_abs = predict_tau(models[0], nn_inputs, col_dry)
     tau_ray = predict_tau(models[1], nn_inputs, col_dry)
     tau_tot = tau_abs + tau_ray
     ssa = jnp.where(tau_tot > 0, tau_ray / tau_tot, 0.0)

@@ -32,8 +32,10 @@ def affine_scan(
     O(log nlay) depth, ~2x flops -- the key perf lever the reference cannot
     express (its loops are inherently serial).
     """
-    trans = jnp.moveaxis(trans, axis, 0)
-    source = jnp.moveaxis(source, axis, 0)
+    dtype = jnp.result_type(trans.dtype, source.dtype, r0.dtype)
+    trans = jnp.moveaxis(trans, axis, 0).astype(dtype)
+    source = jnp.moveaxis(source, axis, 0).astype(dtype)
+    r0 = r0.astype(dtype)
 
     if mode == "sequential":
         def step(r, ts):
