@@ -72,9 +72,11 @@ def _lw_core(
     optical_props = OpticalProps1scl(tau, spectral)
     sol = rte_lw(
         optical_props, top_at_1, sources, sfc_emis_band,
-        n_gauss_angles=n_gauss_angles, scan_mode=scan_mode,
+        n_gauss_angles=n_gauss_angles, scan_mode=scan_mode, broadband=True,
     )
-    return reduce_broadband(sol.flux_up, sol.flux_dn)
+    return FluxesBroadband(
+        flux_up=sol.flux_up, flux_dn=sol.flux_dn, flux_net=sol.flux_dn - sol.flux_up
+    )
 
 
 def rfmip_clear_sky_lw(
@@ -131,16 +133,15 @@ def _sw_core(
     mu0_safe = jnp.where(usecol, mu0, 1.0)
     sol = rte_sw(
         optical_props, top_at_1, mu0_safe, toa_src, alb_gpt, alb_gpt,
-        scan_mode=scan_mode,
+        scan_mode=scan_mode, broadband=True,
     )
-    fb = reduce_broadband(sol.flux_up, sol.flux_dn, gpt_flux_dn_dir=sol.flux_dn_dir)
     # Night columns: zero fluxes (reference :455-459).
     mask = usecol[:, None]
     return FluxesBroadband(
-        flux_up=jnp.where(mask, fb.flux_up, 0.0),
-        flux_dn=jnp.where(mask, fb.flux_dn, 0.0),
-        flux_net=jnp.where(mask, fb.flux_net, 0.0),
-        flux_dn_dir=jnp.where(mask, fb.flux_dn_dir, 0.0),
+        flux_up=jnp.where(mask, sol.flux_up, 0.0),
+        flux_dn=jnp.where(mask, sol.flux_dn, 0.0),
+        flux_net=jnp.where(mask, sol.flux_dn - sol.flux_up, 0.0),
+        flux_dn_dir=jnp.where(mask, sol.flux_dn_dir, 0.0),
     )
 
 

@@ -23,12 +23,15 @@ import jax.numpy as jnp
 from .scan import affine_scan
 
 
-def adding(albedo_sfc, rdif, tdif, src_dn, src_up, src_sfc, flux_dn_top, mode="sequential"):
+def adding(albedo_sfc, rdif, tdif, src_dn, src_up, src_sfc, flux_dn_top, mode="sequential",
+           broadband=False):
     """Compute diffuse flux_up/flux_dn at all levels.
 
     albedo_sfc, src_sfc, flux_dn_top: (ncol, ngpt)
     rdif, tdif, src_dn, src_up: (ncol, nlay, ngpt)
-    Returns (flux_up, flux_dn), each (ncol, nlay+1, ngpt).
+    Returns (flux_up, flux_dn), each (ncol, nlay+1, ngpt); with
+    ``broadband=True`` the spectral reduction happens inside the downward
+    sweep and the results are (ncol, nlay+1) sums.
     """
     nlay = rdif.shape[1]
 
@@ -44,6 +47,28 @@ def adding(albedo_sfc, rdif, tdif, src_dn, src_up, src_sfc, flux_dn_top, mode="s
     #   flux_dn[l+1] = (tdif[l] flux_dn[l] + rdif[l] src[l+1] + src_dn[l]) * denom[l]
     a = tdif * denom
     b = (rdif * src[:, 1:, :] + src_dn) * denom
+
+    if broadband:
+        import jax
+
+        alb_l = jnp.moveaxis(albedo[:, 1:, :], 1, 0)
+        src_l = jnp.moveaxis(src[:, 1:, :], 1, 0)
+
+        def step(fdn, xs):
+            t, s, albl, srcl = xs
+            fdn_next = t * fdn + s
+            fup_next = fdn_next * albl + srcl
+            return fdn_next, (jnp.sum(fdn_next, -1), jnp.sum(fup_next, -1))
+
+        _, (dn_sums, up_sums) = jax.lax.scan(
+            step, flux_dn_top, (jnp.moveaxis(a, 1, 0), jnp.moveaxis(b, 1, 0), alb_l, src_l)
+        )
+        bb_dn0 = jnp.sum(flux_dn_top, -1)
+        bb_up0 = jnp.sum(flux_dn_top * albedo[:, 0, :] + src[:, 0, :], -1)
+        bb_dn = jnp.concatenate([bb_dn0[:, None], jnp.moveaxis(dn_sums, 0, 1)], axis=1)
+        bb_up = jnp.concatenate([bb_up0[:, None], jnp.moveaxis(up_sums, 0, 1)], axis=1)
+        return bb_up, bb_dn
+
     flux_dn = affine_scan(a, b, flux_dn_top, axis=1, mode=mode)
 
     # SH08 Eq 12 at every level.

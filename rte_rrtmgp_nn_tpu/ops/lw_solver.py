@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -69,11 +70,39 @@ def _flip_lay(x):
 
 class LWSolution(NamedTuple):
     """Spectral fluxes (ncol, nlay+1, ngpt), W/m2, level 0 = top of domain
-    in the caller's orientation."""
+    in the caller's orientation. In broadband mode the arrays are
+    (ncol, nlay+1) spectral sums."""
 
     flux_up: jnp.ndarray
     flux_dn: jnp.ndarray
     flux_up_jac: Optional[jnp.ndarray] = None
+
+
+def _affine_scan_broadband(trans, source, r0):
+    """Downward affine recurrence emitting per-level spectral sums instead
+    of the full radiance field: scan carry is the (ncol, ngpt) radiance,
+    outputs are (ncol,) broadband sums -- the in-scan reduction that keeps
+    gpt-resolved fluxes out of HBM (the TPU analogue of the reference's
+    inlined 4-way-unrolled broadband reduction,
+    mo_rte_solver_kernels.F90:296-320). Returns (bb_levels, r_last)."""
+
+    def step(r, ts):
+        t, s = ts
+        r_next = t * r + s
+        return r_next, jnp.sum(r_next, axis=-1)
+
+    t = jnp.moveaxis(trans, 1, 0)
+    s = jnp.moveaxis(source, 1, 0)
+    r_last, sums = jax.lax.scan(step, r0, (t, s))
+    bb = jnp.concatenate([jnp.sum(r0, -1)[:, None], jnp.moveaxis(sums, 0, 1)], axis=1)
+    return bb, r_last
+
+
+def _affine_scan_broadband_reverse(trans, source, r_last):
+    t = jnp.flip(trans, 1)
+    s = jnp.flip(source, 1)
+    bb, r_top = _affine_scan_broadband(t, s, r_last)
+    return jnp.flip(bb, 1), r_top
 
 
 def lw_source_noscat(tau_loc, trans, lay_source, lev_source):
@@ -118,11 +147,14 @@ def _lw_solver_noscat_1angle(
     g=None,
     do_rescaling=False,
     scan_mode="sequential",
+    broadband=False,
 ):
     """Single-angle no-scattering solve, canonical top-at-0 orientation.
 
     tau: (ncol, nlay, ngpt); D: (ncol, ngpt) secants; weight: scalar.
-    Returns LWSolution of spectral fluxes.
+    Returns LWSolution of spectral fluxes; with ``broadband=True`` (not
+    supported with rescaling) the fluxes are reduced inside the layer scans
+    and only (ncol, nlay+1) broadband sums are produced.
     """
     dtype = tau.dtype
     two_pi_w = jnp.asarray(2.0 * np.pi * weight, dtype)
@@ -144,6 +176,20 @@ def _lw_solver_noscat_1angle(
 
     # Downward: intensity BC at top, affine recurrence through layers.
     rad_top = inc_flux / two_pi_w
+
+    if broadband and not do_rescaling:
+        bb_dn, rad_dn_sfc = _affine_scan_broadband(trans, source_dn, rad_top)
+        rad_sfc = rad_dn_sfc * (1.0 - sfc_emis) + sfc_emis * sfc_source
+        bb_up, _ = _affine_scan_broadband_reverse(trans, source_up, rad_sfc)
+        flux_up_jac = None
+        if sfc_source_jac is not None:
+            jac_sfc = sfc_emis * sfc_source_jac
+            bb_jac, _ = _affine_scan_broadband_reverse(
+                trans, jnp.zeros_like(source_up), jac_sfc
+            )
+            flux_up_jac = bb_jac * two_pi_w
+        return LWSolution(bb_up * two_pi_w, bb_dn * two_pi_w, flux_up_jac)
+
     rad_dn = affine_scan(trans, source_dn, rad_top, axis=1, mode=scan_mode)
 
     # Surface reflection + emission (reference :269).
@@ -189,15 +235,19 @@ def lw_solver_noscat(
     g=None,
     do_rescaling=False,
     scan_mode="sequential",
+    broadband=False,
 ) -> LWSolution:
     """No-scattering LW solve with first-order Gaussian quadrature.
 
     Reference parity: lw_solver_noscat_GaussQuad (mo_rte_solver_kernels
     .F90:332-415). ``lw_ds`` (ncol, ngpt) optional per-g-point secants
     (the optimal-angle path, mo_rte_lw.F90:329-341) -- used with one angle.
+    ``broadband=True`` reduces spectrally inside the scans (no gpt-resolved
+    flux arrays are materialized); unsupported with rescaling.
     """
     ncol, nlay, ngpt = tau.shape
     dtype = tau.dtype
+    broadband = broadband and not do_rescaling
     if inc_flux is None:
         inc_flux = jnp.zeros((ncol, ngpt), dtype)
 
@@ -212,7 +262,7 @@ def lw_solver_noscat(
             _lw_solver_noscat_1angle(
                 tau, lay_source, lev_source, sfc_emis, sfc_source, inc_flux,
                 lw_ds.astype(dtype), GAUSS_WTS[0, 0], sfc_source_jac,
-                ssa, g, do_rescaling, scan_mode,
+                ssa, g, do_rescaling, scan_mode, broadband,
             )
         ]
     else:
@@ -226,7 +276,7 @@ def lw_solver_noscat(
                 _lw_solver_noscat_1angle(
                     tau, lay_source, lev_source, sfc_emis, sfc_source, inc_flux,
                     D, GAUSS_WTS[n - 1, imu], sfc_source_jac,
-                    ssa, g, do_rescaling, scan_mode,
+                    ssa, g, do_rescaling, scan_mode, broadband,
                 )
             )
 

@@ -133,12 +133,16 @@ def sw_solver_2stream(
     inc_flux_dif=None,
     top_at_1=True,
     scan_mode="sequential",
+    broadband=False,
 ) -> SWSolution:
     """Full SW two-stream + adding solve (reference sw_solver_2stream).
 
     inc_flux: (ncol, ngpt) TOA direct spectral flux (before mu0 weighting);
     sfc_alb_dir/dif: (ncol, ngpt) per-g-point surface albedos (expansion to
     g-points happens outside, as in this fork's rte_sw, mo_rte_sw.F90:180-186).
+    With ``broadband=True`` the diffuse transport reduces spectrally inside
+    the adding sweep and the returned fluxes are (ncol, nlay+1) sums (the
+    analogue of the reference's fused up/dn/dir reductions, :640-689).
     """
     ncol, nlay, ngpt = tau.shape
     dtype = tau.dtype
@@ -153,8 +157,17 @@ def sw_solver_2stream(
         tau, ssa, g, mu0, sfc_alb_dir, flux_dn_dir
     )
     flux_up, flux_dn = adding(
-        sfc_alb_dif, rdif, tdif, source_dn, source_up, source_sfc, inc_flux_dif, mode=scan_mode
+        sfc_alb_dif, rdif, tdif, source_dn, source_up, source_sfc, inc_flux_dif,
+        mode=scan_mode, broadband=broadband,
     )
+    if broadband:
+        bb_dir = jnp.sum(flux_dn_dir, -1)
+        flux_dn = flux_dn + bb_dir
+        if not top_at_1:
+            flux_up, flux_dn = _flip_lay(flux_up), _flip_lay(flux_dn)
+            bb_dir = _flip_lay(bb_dir)
+        return SWSolution(flux_up, flux_dn, bb_dir)
+
     flux_dn = flux_dn + flux_dn_dir  # adding yields diffuse only; total = + direct
 
     if not top_at_1:

@@ -36,11 +36,14 @@ def rte_lw(
     lw_ds: Optional[jnp.ndarray] = None,
     compute_jac: bool = False,
     scan_mode: str = "sequential",
+    broadband: bool = False,
 ) -> LWSolution:
     """Longwave transport. sfc_emis is per band (ncol, nband), expanded to
     g-points here (reference mo_rte_lw.F90:295-303).
 
-    Returns spectral fluxes; apply fluxes.reduce_* for diagnostics.
+    Returns spectral fluxes (apply fluxes.reduce_* for diagnostics), or
+    in-scan-reduced broadband fluxes with ``broadband=True`` (no-scat path
+    only -- the fast path when spectral fluxes aren't needed).
     """
     spectral = optical_props.spectral
     if config.check_extents:
@@ -66,6 +69,7 @@ def rte_lw(
             lw_ds=lw_ds,
             sfc_source_jac=jac,
             scan_mode=scan_mode,
+            broadband=broadband,
         )
     if isinstance(optical_props, OpticalProps2str):
         if use_2stream:
@@ -113,6 +117,7 @@ def rte_sw(
     sfc_alb_dif: jnp.ndarray,
     inc_flux_dif: Optional[jnp.ndarray] = None,
     scan_mode: str = "sequential",
+    broadband: bool = False,
 ) -> SWSolution:
     """Shortwave transport (reference mo_rte_sw.F90:48-242).
 
@@ -147,5 +152,6 @@ def rte_sw(
             inc_flux_dif=inc_flux_dif,
             top_at_1=top_at_1,
             scan_mode=scan_mode,
+            broadband=broadband,
         )
     raise TypeError(f"rte_sw: unsupported optical props {type(optical_props)}")

@@ -96,9 +96,15 @@ class SpectralMapping:
 
         Reference parity: mo_rte_lw.F90:429-447 (emissivity expand) and
         mo_optical_props.F90 ``expand``.
+
+        TPU note: implemented as a one-hot matmul rather than a gather --
+        minor-axis gathers are slow on TPU while an (nband, ngpt) one-hot
+        contraction rides the MXU and fuses with neighbors.
         """
-        idx = jnp.asarray(self.gpt2band)
-        return jnp.take(band_values, idx, axis=-1)
+        one_hot = jnp.asarray(
+            (self.gpt2band[None, :] == np.arange(self.nband)[:, None]).astype(np.float32)
+        ).astype(band_values.dtype)
+        return band_values @ one_hot
 
     def reduce_sum(self, gpt_values: jnp.ndarray) -> jnp.ndarray:
         """Sum per-g-point values (..., ngpt) into per-band (..., nband)
