@@ -133,6 +133,76 @@ def lw_source_noscat(tau_loc, trans, lay_source, lev_source):
     return source_dn, source_up
 
 
+def _lw_noscat_broadband_fused(
+    tau, lay_source, lev_source, sfc_emis, sfc_source, inc_flux, D, weight,
+    sfc_source_jac=None,
+):
+    """Fully-fused broadband no-scat solve: optical path, transmittance,
+    linear-in-tau sources, transport, and spectral reduction all inside the
+    two layer scans -- no (ncol, nlay, ngpt) intermediates ever reach HBM.
+    The up-sweep recomputes trans/source_up from tau (one extra exp) rather
+    than storing them: on TPU the recompute is far cheaper than the HBM
+    round-trip. Canonical top-at-0; single angle."""
+    dtype = tau.dtype
+    two_pi_w = jnp.asarray(2.0 * np.pi * weight, dtype)
+    tau_thresh = jnp.sqrt(jnp.finfo(dtype).eps)
+    Db = D[:, None, :] if D.ndim == 2 else D
+
+    tau_l = jnp.moveaxis(tau * Db, 1, 0)  # (nlay, ncol, ngpt) optical path
+    lay_l = jnp.moveaxis(lay_source, 1, 0)
+    lev_top_l = jnp.moveaxis(lev_source[:, :-1, :], 1, 0)
+    lev_bot_l = jnp.moveaxis(lev_source[:, 1:, :], 1, 0)
+
+    def sources_of(tl, lay, lev_t, lev_b):
+        trans = _exp(-tl)
+        fact = jnp.where(
+            tl > tau_thresh,
+            (1.0 - trans) / jnp.maximum(tl, jnp.finfo(dtype).tiny) - trans,
+            tl * (0.5 - (1.0 / 3.0) * tl),
+        )
+        one_m_t = 1.0 - trans
+        src_dn = one_m_t * lev_b + 2.0 * fact * (lay - lev_b)
+        src_up = one_m_t * lev_t + 2.0 * fact * (lay - lev_t)
+        return trans, src_dn, src_up
+
+    def down(rad, xs):
+        tl, lay, lev_t, lev_b = xs
+        trans, src_dn, _ = sources_of(tl, lay, lev_t, lev_b)
+        rad_next = trans * rad + src_dn
+        return rad_next, jnp.sum(rad_next, -1)
+
+    rad_top = inc_flux / two_pi_w
+    rad_sfc_dn, dn_sums = jax.lax.scan(down, rad_top, (tau_l, lay_l, lev_top_l, lev_bot_l))
+    bb_dn = jnp.concatenate([jnp.sum(rad_top, -1)[:, None], jnp.moveaxis(dn_sums, 0, 1)], 1)
+
+    rad_sfc = rad_sfc_dn * (1.0 - sfc_emis) + sfc_emis * sfc_source
+
+    def up(carry, xs):
+        rad, jac = carry
+        tl, lay, lev_t, lev_b = xs
+        trans, _, src_up = sources_of(tl, lay, lev_t, lev_b)
+        rad_next = trans * rad + src_up
+        jac_next = trans * jac
+        return (rad_next, jac_next), (jnp.sum(rad_next, -1), jnp.sum(jac_next, -1))
+
+    jac_sfc = (
+        sfc_emis * sfc_source_jac if sfc_source_jac is not None else jnp.zeros_like(rad_sfc)
+    )
+    (_, _), (up_sums, jac_sums) = jax.lax.scan(
+        up, (rad_sfc, jac_sfc),
+        (tau_l[::-1], lay_l[::-1], lev_top_l[::-1], lev_bot_l[::-1]),
+    )
+    bb_up = jnp.concatenate(
+        [jnp.moveaxis(up_sums, 0, 1)[:, ::-1], jnp.sum(rad_sfc, -1)[:, None]], 1
+    )
+    flux_up_jac = None
+    if sfc_source_jac is not None:
+        flux_up_jac = jnp.concatenate(
+            [jnp.moveaxis(jac_sums, 0, 1)[:, ::-1], jnp.sum(jac_sfc, -1)[:, None]], 1
+        ) * two_pi_w
+    return LWSolution(bb_up * two_pi_w, bb_dn * two_pi_w, flux_up_jac)
+
+
 def _lw_solver_noscat_1angle(
     tau,
     lay_source,
@@ -158,6 +228,12 @@ def _lw_solver_noscat_1angle(
     """
     dtype = tau.dtype
     two_pi_w = jnp.asarray(2.0 * np.pi * weight, dtype)
+
+    if broadband and not do_rescaling and not config.use_pade_source:
+        return _lw_noscat_broadband_fused(
+            tau, lay_source, lev_source, sfc_emis, sfc_source, inc_flux,
+            D, weight, sfc_source_jac,
+        )
 
     if do_rescaling:
         # Tang et al. 2018 scaling for scattering within a no-scat transport

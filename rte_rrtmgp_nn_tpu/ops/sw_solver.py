@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..config import config
@@ -122,6 +123,113 @@ def sw_two_stream_source(tau, ssa, g, mu0, sfc_alb_dir, flux_dn_dir):
     return rdif, tdif, source_up, source_dn, source_sfc
 
 
+def _sw_two_stream_coeffs(tau_l, ssa_l, g_l, mu0b):
+    """Per-layer PIFM two-stream coefficients (rdif, tdif, rdir, tdir,
+    tnoscat); elementwise, shared by both fused sweeps."""
+    dtype = tau_l.dtype
+    eps = jnp.finfo(dtype).eps
+    mu0_inv = 1.0 / mu0b
+    gamma1 = (8.0 - ssa_l * (5.0 + 3.0 * g_l)) * 0.25
+    gamma2 = 3.0 * (ssa_l * (1.0 - g_l)) * 0.25
+    gamma3 = (2.0 - 3.0 * mu0b * g_l) * 0.25
+    gamma4 = 1.0 - gamma3
+    alpha1 = gamma1 * gamma4 + gamma2 * gamma3
+    alpha2 = gamma1 * gamma3 + gamma2 * gamma4
+    k = jnp.sqrt(jnp.maximum((gamma1 - gamma2) * (gamma1 + gamma2), config.k_min))
+    tnoscat = jnp.exp(-tau_l * mu0_inv)
+    e1 = jnp.exp(-tau_l * k)
+    e2 = e1 * e1
+    k2e = 2.0 * k * e1
+    rt_term = 1.0 / (k * (1.0 + e2) + gamma1 * (1.0 - e2))
+    rdif = rt_term * gamma2 * (1.0 - e2)
+    tdif = rt_term * k2e
+    k_mu = k * mu0b
+    k_mu2 = k_mu * k_mu
+    k_g3 = k * gamma3
+    k_g4 = k * gamma4
+    denom = jnp.where(jnp.abs(1.0 - k_mu2) >= eps, 1.0 - k_mu2, eps)
+    rt2 = ssa_l * rt_term / denom
+    rdir = rt2 * (
+        (1.0 - k_mu) * (alpha2 + k_g3)
+        - (1.0 + k_mu) * (alpha2 - k_g3) * e2
+        - k2e * (gamma3 - alpha2 * mu0b) * tnoscat
+    )
+    tdir = rt2 * (
+        k2e * (gamma4 + alpha1 * mu0b)
+        - tnoscat * ((1.0 + k_mu) * (alpha1 + k_g4) - (1.0 - k_mu) * (alpha1 - k_g4) * e2)
+    )
+    rdir = jnp.clip(rdir, 0.0, 1.0 - tnoscat)
+    tdir = jnp.clip(tdir, 0.0, 1.0 - tnoscat - rdir)
+    return rdif, tdif, rdir, tdir, tnoscat
+
+
+def _sw_2stream_broadband_fused(tau, ssa, g, mu0, inc_flux_dir, sfc_alb_dir, sfc_alb_dif, inc_flux_dif):
+    """Fused broadband SW two-stream + adding (canonical top-at-0).
+
+    The two-stream coefficients and direct-beam sources are computed inside
+    BOTH adding sweeps (recomputation is far cheaper on TPU than round-
+    tripping rdif/tdif/source arrays through HBM); only the direct beam and
+    the cumulative albedo/source stacks are materialized. Returns
+    (bb_up, bb_dn_total, bb_dir), each (ncol, nlay+1)."""
+    mu0b = mu0[:, None, None]
+    flux_dn_dir = direct_beam(tau, mu0, inc_flux_dir)
+
+    tau_l = jnp.moveaxis(tau, 1, 0)
+    ssa_l = jnp.moveaxis(ssa, 1, 0)
+    g_l = jnp.moveaxis(g, 1, 0)
+    dir_top_l = jnp.moveaxis(flux_dn_dir[:, :-1, :], 1, 0)  # incident on layer top
+
+    mu0c = mu0[:, None]
+
+    # ---- surface-to-top sweep: cumulative albedo and upwelling source ----
+    def up(carry, xs):
+        alb_below, src_below = carry
+        tl, wl, gl, dinc = xs
+        rdif, tdif, rdir, tdir, _ = _sw_two_stream_coeffs(tl, wl, gl, mu0c)
+        src_up = rdir * dinc
+        src_dn = tdir * dinc
+        d = 1.0 / (1.0 - rdif * alb_below)
+        alb = rdif + tdif * tdif * alb_below * d
+        src = src_up + tdif * d * (src_below + alb_below * src_dn)
+        return (alb, src), (alb, src)
+
+    alb_sfc = sfc_alb_dif
+    src_sfc = flux_dn_dir[:, -1, :] * sfc_alb_dir
+    (_, _), (albs, srcs) = jax.lax.scan(
+        up, (alb_sfc, src_sfc),
+        (tau_l[::-1], ssa_l[::-1], g_l[::-1], dir_top_l[::-1]),
+    )
+    albs = albs[::-1]  # albs[l] = albedo at level l, l = 0..nlay-1
+    srcs = srcs[::-1]
+    alb_below_l = jnp.concatenate([albs[1:], alb_sfc[None]], 0)  # level l+1
+    src_below_l = jnp.concatenate([srcs[1:], src_sfc[None]], 0)
+
+    # ---- top-to-surface flux sweep with in-scan broadband reduction ------
+    def down(fdn, xs):
+        tl, wl, gl, dinc, alb_b, src_b, dir_next = xs
+        rdif, tdif, rdir, tdir, _ = _sw_two_stream_coeffs(tl, wl, gl, mu0c)
+        src_dn = tdir * dinc
+        d = 1.0 / (1.0 - rdif * alb_b)
+        fdn_next = (tdif * fdn + rdif * src_b + src_dn) * d
+        fup_next = fdn_next * alb_b + src_b
+        return fdn_next, (
+            jnp.sum(fdn_next, -1) + jnp.sum(dir_next, -1),
+            jnp.sum(fup_next, -1),
+        )
+
+    dir_next_l = jnp.moveaxis(flux_dn_dir[:, 1:, :], 1, 0)
+    _, (dn_sums, up_sums) = jax.lax.scan(
+        down, inc_flux_dif,
+        (tau_l, ssa_l, g_l, dir_top_l, alb_below_l, src_below_l, dir_next_l),
+    )
+    bb_dir = jnp.sum(flux_dn_dir, -1)
+    bb_dn0 = jnp.sum(inc_flux_dif, -1) + bb_dir[:, 0]
+    bb_up0 = jnp.sum(inc_flux_dif * albs[0] + srcs[0], -1)
+    bb_dn = jnp.concatenate([bb_dn0[:, None], jnp.moveaxis(dn_sums, 0, 1)], 1)
+    bb_up = jnp.concatenate([bb_up0[:, None], jnp.moveaxis(up_sums, 0, 1)], 1)
+    return bb_up, bb_dn, bb_dir
+
+
 def sw_solver_2stream(
     tau,
     ssa,
@@ -152,22 +260,24 @@ def sw_solver_2stream(
     if not top_at_1:
         tau, ssa, g = _flip_lay(tau), _flip_lay(ssa), _flip_lay(g)
 
+    if broadband:
+        bb_up, bb_dn, bb_dir = _sw_2stream_broadband_fused(
+            tau, ssa, g, mu0, inc_flux * mu0[:, None], sfc_alb_dir, sfc_alb_dif,
+            inc_flux_dif,
+        )
+        if not top_at_1:
+            bb_up, bb_dn = _flip_lay(bb_up), _flip_lay(bb_dn)
+            bb_dir = _flip_lay(bb_dir)
+        return SWSolution(bb_up, bb_dn, bb_dir)
+
     flux_dn_dir = direct_beam(tau, mu0, inc_flux * mu0[:, None])
     rdif, tdif, source_up, source_dn, source_sfc = sw_two_stream_source(
         tau, ssa, g, mu0, sfc_alb_dir, flux_dn_dir
     )
     flux_up, flux_dn = adding(
         sfc_alb_dif, rdif, tdif, source_dn, source_up, source_sfc, inc_flux_dif,
-        mode=scan_mode, broadband=broadband,
+        mode=scan_mode,
     )
-    if broadband:
-        bb_dir = jnp.sum(flux_dn_dir, -1)
-        flux_dn = flux_dn + bb_dir
-        if not top_at_1:
-            flux_up, flux_dn = _flip_lay(flux_up), _flip_lay(flux_dn)
-            bb_dir = _flip_lay(bb_dir)
-        return SWSolution(flux_up, flux_dn, bb_dir)
-
     flux_dn = flux_dn + flux_dn_dir  # adding yields diffuse only; total = + direct
 
     if not top_at_1:
