@@ -135,6 +135,53 @@ def make_train_step(optimizer: optax.GradientTransformation, alpha: float = 0.0)
     return train_step
 
 
+def cocob(alpha: float = 100.0) -> optax.GradientTransformation:
+    """COCOB-Backprop (Orabona & Tommasi 2017): the parameter-free
+    coin-betting optimizer the reference offers as an alternative to Adam
+    (ml_trainfuncs_keras.py COCOB class, :216+)."""
+
+    def init_fn(params):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        eps_like = jax.tree_util.tree_map(lambda p: jnp.full_like(p, 1e-8), params)
+        return {
+            "init_params": params,
+            "L": eps_like,          # max |gradient| seen
+            "grad_sum": zeros,      # sum of |gradients|
+            "reward": zeros,
+            "theta": zeros,         # sum of -gradients
+        }
+
+    def update_fn(grads, state, params):
+        if params is None:
+            raise ValueError("cocob requires params")
+
+        def upd(g, w, w1, L, gsum, r, th):
+            L_new = jnp.maximum(L, jnp.abs(g))
+            gsum_new = gsum + jnp.abs(g)
+            r_new = jnp.maximum(r - g * (w - w1), 0.0)
+            th_new = th - g
+            w_new = w1 + th_new / (L_new * jnp.maximum(gsum_new + L_new, alpha * L_new)) * (
+                L_new + r_new
+            )
+            return w_new - w, L_new, gsum_new, r_new, th_new
+
+        out = jax.tree_util.tree_map(
+            upd, grads, params, state["init_params"], state["L"],
+            state["grad_sum"], state["reward"], state["theta"],
+        )
+        updates = jax.tree_util.tree_map(lambda t: t[0], out, is_leaf=lambda x: isinstance(x, tuple) and len(x) == 5)
+        new_state = {
+            "init_params": state["init_params"],
+            "L": jax.tree_util.tree_map(lambda t: t[1], out, is_leaf=lambda x: isinstance(x, tuple) and len(x) == 5),
+            "grad_sum": jax.tree_util.tree_map(lambda t: t[2], out, is_leaf=lambda x: isinstance(x, tuple) and len(x) == 5),
+            "reward": jax.tree_util.tree_map(lambda t: t[3], out, is_leaf=lambda x: isinstance(x, tuple) and len(x) == 5),
+            "theta": jax.tree_util.tree_map(lambda t: t[4], out, is_leaf=lambda x: isinstance(x, tuple) and len(x) == 5),
+        }
+        return updates, new_state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def create_train_state(model: NNModel, learning_rate: float = 1e-3) -> tuple[TrainState, optax.GradientTransformation]:
     """Adam lr 1e-3 as in the reference (ml_train.py:259-262). The scaling
     coefficients are unused by apply_raw, so their gradients -- and hence

@@ -1,0 +1,176 @@
+"""Auxiliary component tests: validators, flux output/compare, COCOB,
+fast exponential, Pade source, byband/bygpoint reducers end-to-end."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import rte_rrtmgp_nn_tpu as rt
+from rte_rrtmgp_nn_tpu.drivers.flux_output import compare_flux_files, write_fluxes_rfmip
+from rte_rrtmgp_nn_tpu.fluxes import reduce_byband, FluxesBygpoint
+from rte_rrtmgp_nn_tpu.utils.validation import (
+    any_vals_less_than,
+    any_vals_outside,
+    extents_are,
+    zero_array,
+)
+
+
+class TestValidators:
+    def test_basic(self):
+        a = np.array([1.0, 2.0, 3.0])
+        assert any_vals_less_than(a, 1.5)
+        assert not any_vals_less_than(a, 0.5)
+        assert any_vals_outside(a, 1.5, 2.5)
+        assert not any_vals_outside(a, 0.0, 5.0)
+        assert extents_are(a, 3) and not extents_are(a, 4)
+        assert zero_array((2, 3)).shape == (2, 3)
+
+    def test_masked(self):
+        a = np.array([1.0, -5.0, 3.0])
+        m = np.array([True, False, True])
+        assert not any_vals_less_than(a, 0.0, mask=m)
+        assert any_vals_less_than(a, 0.0, mask=~m)
+        assert not any_vals_outside(a, 0.0, 4.0, mask=m)
+        assert not any_vals_less_than(a, 0.0, mask=np.zeros(3, bool))  # empty mask
+
+
+class TestFluxOutput:
+    def test_write_and_compare_pass(self, tmp_path):
+        rng = np.random.default_rng(0)
+        nexp, nsite, nlev = 2, 3, 5
+        flux = rng.uniform(0, 400, (nexp * nsite, nlev)).astype(np.float32)
+        plev = np.linspace(100, 1e5, nlev)
+        p1, p2 = str(tmp_path / "a.nc"), str(tmp_path / "b.nc")
+        write_fluxes_rfmip(p1, {"rlu": flux}, plev, nexp, nsite)
+        write_fluxes_rfmip(p2, {"rlu": flux + 1e-7}, plev, nexp, nsite)
+        res = compare_flux_files(p1, p2, ["rlu"], fail_threshold=1e-5, verbose=False)
+        assert res["passed"] and res["max_diffs"]["rlu"] < 1e-5
+
+    def test_compare_fail(self, tmp_path):
+        nexp, nsite, nlev = 1, 2, 4
+        flux = np.ones((2, 4), np.float32)
+        plev = np.linspace(100, 1e5, nlev)
+        p1, p2 = str(tmp_path / "a.nc"), str(tmp_path / "b.nc")
+        write_fluxes_rfmip(p1, {"rld": flux}, plev, nexp, nsite)
+        write_fluxes_rfmip(p2, {"rld": flux + 0.5}, plev, nexp, nsite)
+        res = compare_flux_files(p1, p2, ["rld"], fail_threshold=1e-5, verbose=False)
+        assert not res["passed"]
+
+
+class TestCOCOB:
+    def test_optimizes_quadratic(self):
+        from rte_rrtmgp_nn_tpu.training.train import cocob
+
+        opt = cocob()
+        params = {"w": jnp.array([5.0, -3.0])}
+        state = opt.init(params)
+
+        @jax.jit
+        def step(params, state):
+            grads = {"w": 2.0 * params["w"]}  # d/dw of w^2
+            updates, state = opt.update(grads, state, params)
+            return jax.tree_util.tree_map(lambda p, u: p + u, params, updates), state
+
+        for _ in range(300):
+            params, state = step(params, state)
+        assert float(jnp.abs(params["w"]).max()) < 0.5
+
+
+class TestConfigVariants:
+    def test_fast_exponential_close(self, rng):
+        """exp_fast (Pade) within ~1e-4 of exp for moderate optical paths
+        (reference FAST_EXPONENTIAL, mo_rte_solver_kernels.F90:90-106)."""
+        from rte_rrtmgp_nn_tpu.ops.lw_solver import _exp
+
+        x = jnp.asarray(rng.uniform(0.0, 5.0, 100))
+        exact = np.exp(-np.asarray(x))
+        with rt.config_override(fast_exponential=True):
+            approx = np.asarray(_exp(-x))
+        np.testing.assert_allclose(approx, exact, atol=5e-4)
+        assert np.all(approx >= 0.0)
+
+    def test_pade_source_runs(self, rng):
+        """use_Pade_source variant produces close fluxes (reference
+        mo_rte_rrtmgp_config.F90:30 + the Pade branch of the source)."""
+        from rte_rrtmgp_nn_tpu.ops.lw_solver import lw_solver_noscat
+
+        ncol, nlay, ngpt = 3, 10, 8
+        tau = jnp.asarray(rng.uniform(0.05, 1.0, (ncol, nlay, ngpt)))
+        lay = jnp.asarray(rng.uniform(0.5, 1.0, (ncol, nlay, ngpt)))
+        lev = jnp.asarray(rng.uniform(0.5, 1.0, (ncol, nlay + 1, ngpt)))
+        emis = jnp.ones((ncol, ngpt))
+        sfc = jnp.ones((ncol, ngpt))
+        s0 = lw_solver_noscat(tau, lay, lev, emis, sfc)
+        with rt.config_override(use_pade_source=True):
+            s1 = lw_solver_noscat(tau, lay, lev, emis, sfc)
+        up0 = np.asarray(jnp.sum(s0.flux_up, -1))
+        up1 = np.asarray(jnp.sum(s1.flux_up, -1))
+        assert np.max(np.abs(up0 - up1) / np.abs(up0)) < 0.02  # alternative forms agree to ~2%
+
+    def test_broadband_matches_spectral_reduction(self, rng):
+        """The fused broadband path must equal summing the spectral path."""
+        from rte_rrtmgp_nn_tpu.ops.lw_solver import lw_solver_noscat
+
+        ncol, nlay, ngpt = 4, 12, 16
+        tau = jnp.asarray(rng.uniform(0.05, 2.0, (ncol, nlay, ngpt)))
+        lay = jnp.asarray(rng.uniform(0.5, 1.0, (ncol, nlay, ngpt)))
+        lev = jnp.asarray(rng.uniform(0.5, 1.0, (ncol, nlay + 1, ngpt)))
+        emis = jnp.asarray(rng.uniform(0.9, 1.0, (ncol, ngpt)))
+        sfc = jnp.asarray(rng.uniform(0.5, 1.0, (ncol, ngpt)))
+        jac = jnp.asarray(rng.uniform(0.0, 0.1, (ncol, ngpt)))
+        s_spec = lw_solver_noscat(tau, lay, lev, emis, sfc, sfc_source_jac=jac)
+        s_bb = lw_solver_noscat(tau, lay, lev, emis, sfc, sfc_source_jac=jac, broadband=True)
+        np.testing.assert_allclose(
+            np.asarray(s_bb.flux_up), np.asarray(jnp.sum(s_spec.flux_up, -1)), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_bb.flux_dn), np.asarray(jnp.sum(s_spec.flux_dn, -1)), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_bb.flux_up_jac), np.asarray(jnp.sum(s_spec.flux_up_jac, -1)), rtol=1e-6,
+            atol=1e-12,
+        )
+
+    def test_sw_broadband_matches_spectral(self, rng):
+        from rte_rrtmgp_nn_tpu.ops.sw_solver import sw_solver_2stream
+
+        ncol, nlay, ngpt = 3, 9, 8
+        tau = jnp.asarray(rng.uniform(0.05, 1.0, (ncol, nlay, ngpt)))
+        ssa = jnp.asarray(rng.uniform(0.2, 0.95, tau.shape))
+        g = jnp.asarray(rng.uniform(0.0, 0.7, tau.shape))
+        mu0 = jnp.asarray(rng.uniform(0.3, 1.0, (ncol,)))
+        inc = jnp.full((ncol, ngpt), 100.0)
+        alb = jnp.full((ncol, ngpt), 0.2)
+        s_spec = sw_solver_2stream(tau, ssa, g, mu0, inc, alb, alb)
+        s_bb = sw_solver_2stream(tau, ssa, g, mu0, inc, alb, alb, broadband=True)
+        np.testing.assert_allclose(
+            np.asarray(s_bb.flux_up), np.asarray(jnp.sum(s_spec.flux_up, -1)), rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_bb.flux_dn), np.asarray(jnp.sum(s_spec.flux_dn, -1)), rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_bb.flux_dn_dir), np.asarray(jnp.sum(s_spec.flux_dn_dir, -1)), rtol=2e-5
+        )
+
+
+class TestBybandReducers:
+    def test_byband_end_to_end(self, rng):
+        from rte_rrtmgp_nn_tpu.spectral import SpectralMapping
+
+        blg = np.stack([np.arange(4) * 3, (np.arange(4) + 1) * 3], 1)
+        blw = np.stack([np.arange(4) * 100.0, (np.arange(4) + 1) * 100.0], 1)
+        sm = SpectralMapping.create(blg, blw)
+        up = jnp.asarray(rng.uniform(0, 10, (2, 5, 12)))
+        dn = jnp.asarray(rng.uniform(0, 10, (2, 5, 12)))
+        fb = reduce_byband(sm, up, dn)
+        assert fb.bnd_flux_up.shape == (2, 5, 4)
+        np.testing.assert_allclose(
+            np.asarray(jnp.sum(fb.bnd_flux_up, -1)), np.asarray(fb.broadband.flux_up), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(fb.bnd_flux_up[..., 0]), np.asarray(jnp.sum(up[..., :3], -1)), rtol=1e-6
+        )
+        gp = FluxesBygpoint(gpt_flux_up=up, gpt_flux_dn=dn)
+        assert gp.gpt_flux_up.shape == (2, 5, 12)
