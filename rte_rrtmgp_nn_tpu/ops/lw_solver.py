@@ -203,6 +203,118 @@ def _lw_noscat_broadband_fused(
     return LWSolution(bb_up * two_pi_w, bb_dn * two_pi_w, flux_up_jac)
 
 
+def lw_noscat_broadband_from_pfrac(
+    tau,
+    pfrac,
+    planck_lay,
+    planck_lev,
+    planck_sfc,
+    planck_sfc_jac,
+    one_hot,
+    sfc_emis,
+    inc_flux=None,
+    D=None,
+    weight=0.5,
+    top_at_1=True,
+    compute_jac=False,
+):
+    """End-to-end fused LW no-scat broadband solve straight from the Planck
+    fraction: the per-layer sources (pfrac x band-Planck, expanded to
+    g-points with a one-hot matmul) are computed INSIDE the scan bodies, so
+    neither lay_source nor lev_source ever reaches HBM. This fuses the
+    reference's compute_Planck_source_nn + lw_solver_noscat pipeline
+    (mo_gas_optics_kernels.F90:615-683 + mo_rte_solver_kernels.F90:119-330).
+
+    NOTE: measured SLOWER than the materialized-source path on TPU v5e at
+    RFMIP scale (7.8 vs 5.6 ms per 1800 cols): 60 per-step (ncol, nband) @
+    (nband, ngpt) matmuls inside the scan cost more than the saved
+    lay/lev_source HBM traffic. Kept as an option for memory-limited cases
+    (it removes two (ncol, nlay, ngpt) arrays from the footprint).
+
+    tau, pfrac: (ncol, nlay, ngpt); planck_lay: (ncol, nlay, nband);
+    planck_lev: (ncol, nlay+1, nband); planck_sfc[_jac]: (ncol, nband);
+    one_hot: (nband, ngpt); sfc_emis: (ncol, ngpt) per-g-point.
+    """
+    ncol, nlay, ngpt = tau.shape
+    dtype = tau.dtype
+    if not top_at_1:
+        tau, pfrac = _flip_lay(tau), _flip_lay(pfrac)
+        planck_lay, planck_lev = _flip_lay(planck_lay), _flip_lay(planck_lev)
+    if D is None:
+        D = jnp.full((ncol, ngpt), GAUSS_DS[0, 0], dtype)
+    if inc_flux is None:
+        inc_flux = jnp.zeros((ncol, ngpt), dtype)
+    two_pi_w = jnp.asarray(2.0 * np.pi * weight, dtype)
+    tau_thresh = jnp.sqrt(jnp.finfo(dtype).eps)
+
+    tau_l = jnp.moveaxis(tau * D[:, None, :], 1, 0)
+    pf_l = jnp.moveaxis(pfrac, 1, 0)
+    pf_next = jnp.concatenate([pf_l[1:], pf_l[-1:]], 0)  # level l+1 takes layer min(l+1, nlay-1)
+    blay_l = jnp.moveaxis(planck_lay, 1, 0)
+    blev_l = jnp.moveaxis(planck_lev[:, :-1, :], 1, 0)
+    blev_next = jnp.moveaxis(planck_lev[:, 1:, :], 1, 0)
+    oh = one_hot.astype(dtype)
+
+    def sources_of(tl, pf, pfn, bla, ble, blen):
+        trans = _exp(-tl)
+        fact = jnp.where(
+            tl > tau_thresh,
+            (1.0 - trans) / jnp.maximum(tl, jnp.finfo(dtype).tiny) - trans,
+            tl * (0.5 - (1.0 / 3.0) * tl),
+        )
+        lay = pf * (bla @ oh)
+        lev_t = pf * (ble @ oh)
+        lev_b = pfn * (blen @ oh)
+        one_m_t = 1.0 - trans
+        src_dn = one_m_t * lev_b + 2.0 * fact * (lay - lev_b)
+        src_up = one_m_t * lev_t + 2.0 * fact * (lay - lev_t)
+        return trans, src_dn, src_up
+
+    def down(rad, xs):
+        trans, src_dn, _ = sources_of(*xs)
+        rad_next = trans * rad + src_dn
+        return rad_next, jnp.sum(rad_next, -1)
+
+    xs = (tau_l, pf_l, pf_next, blay_l, blev_l, blev_next)
+    rad_top = inc_flux / two_pi_w
+    rad_sfc_dn, dn_sums = jax.lax.scan(down, rad_top, xs)
+    bb_dn = jnp.concatenate([jnp.sum(rad_top, -1)[:, None], jnp.moveaxis(dn_sums, 0, 1)], 1)
+
+    pf_sfc = pfrac[:, -1, :]
+    sfc_source = pf_sfc * (planck_sfc @ oh)
+    rad_sfc = rad_sfc_dn * (1.0 - sfc_emis) + sfc_emis * sfc_source
+
+    def up(carry, xs_):
+        rad, jac = carry
+        trans, _, src_up = sources_of(*xs_)
+        rad_next = trans * rad + src_up
+        jac_next = trans * jac
+        return (rad_next, jac_next), (jnp.sum(rad_next, -1), jnp.sum(jac_next, -1))
+
+    jac_sfc = (
+        sfc_emis * (pf_sfc * ((planck_sfc_jac - planck_sfc) @ oh))
+        if compute_jac
+        else jnp.zeros_like(rad_sfc)
+    )
+    xs_rev = tuple(x[::-1] for x in xs)
+    (_, _), (up_sums, jac_sums) = jax.lax.scan(up, (rad_sfc, jac_sfc), xs_rev)
+    bb_up = jnp.concatenate(
+        [jnp.moveaxis(up_sums, 0, 1)[:, ::-1], jnp.sum(rad_sfc, -1)[:, None]], 1
+    )
+    jac_bb = None
+    if compute_jac:
+        jac_bb = jnp.concatenate(
+            [jnp.moveaxis(jac_sums, 0, 1)[:, ::-1], jnp.sum(jac_sfc, -1)[:, None]], 1
+        ) * two_pi_w
+    out = LWSolution(bb_up * two_pi_w, bb_dn * two_pi_w, jac_bb)
+    if not top_at_1:
+        out = LWSolution(
+            _flip_lay(out.flux_up), _flip_lay(out.flux_dn),
+            None if jac_bb is None else _flip_lay(out.flux_up_jac),
+        )
+    return out
+
+
 def _lw_solver_noscat_1angle(
     tau,
     lay_source,
