@@ -35,6 +35,16 @@ def adding(albedo_sfc, rdif, tdif, src_dn, src_up, src_sfc, flux_dn_top, mode="s
     """
     nlay = rdif.shape[1]
 
+    # harmonize mixed input dtypes (scan carries must be type-stable)
+    dtype = jnp.result_type(
+        rdif.dtype, tdif.dtype, src_dn.dtype, src_up.dtype,
+        albedo_sfc.dtype, src_sfc.dtype, flux_dn_top.dtype,
+    )
+    rdif, tdif = rdif.astype(dtype), tdif.astype(dtype)
+    src_dn, src_up = src_dn.astype(dtype), src_up.astype(dtype)
+    albedo_sfc, src_sfc = albedo_sfc.astype(dtype), src_sfc.astype(dtype)
+    flux_dn_top = flux_dn_top.astype(dtype)
+
     if mode == "parallel":
         albedo, src = _albedo_src_parallel(albedo_sfc, rdif, tdif, src_dn, src_up, src_sfc)
     else:

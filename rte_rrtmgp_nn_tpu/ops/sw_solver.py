@@ -171,6 +171,15 @@ def _sw_2stream_broadband_fused(tau, ssa, g, mu0, inc_flux_dir, sfc_alb_dir, sfc
     tripping rdif/tdif/source arrays through HBM); only the direct beam and
     the cumulative albedo/source stacks are materialized. Returns
     (bb_up, bb_dn_total, bb_dir), each (ncol, nlay+1)."""
+    dtype = jnp.result_type(
+        tau.dtype, ssa.dtype, g.dtype, inc_flux_dir.dtype,
+        sfc_alb_dir.dtype, sfc_alb_dif.dtype, inc_flux_dif.dtype,
+    )
+    tau, ssa, g = tau.astype(dtype), ssa.astype(dtype), g.astype(dtype)
+    inc_flux_dir = inc_flux_dir.astype(dtype)
+    sfc_alb_dir, sfc_alb_dif = sfc_alb_dir.astype(dtype), sfc_alb_dif.astype(dtype)
+    inc_flux_dif = inc_flux_dif.astype(dtype)
+    mu0 = mu0.astype(dtype)
     mu0b = mu0[:, None, None]
     flux_dn_dir = direct_beam(tau, mu0, inc_flux_dir)
 

@@ -42,6 +42,7 @@ def lw_nn_both_file():
     return p
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test gets identical, order-independent draws
     return np.random.default_rng(42)
