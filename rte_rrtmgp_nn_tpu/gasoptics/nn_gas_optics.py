@@ -189,7 +189,8 @@ def predict_nn_sw(
     tau_abs = predict_tau(models[0], nn_inputs, col_dry)
     tau_ray = predict_tau(models[1], nn_inputs, col_dry)
     tau_tot = tau_abs + tau_ray
-    ssa = jnp.where(tau_tot > 0, tau_ray / tau_tot, 0.0)
+    tau_tot_safe = jnp.where(tau_tot > 0, tau_tot, 1.0)
+    ssa = jnp.where(tau_tot > 0, tau_ray / tau_tot_safe, 0.0)
     return tau_tot, ssa
 
 

@@ -96,7 +96,8 @@ def interpolation(kd: KDist, play: jnp.ndarray, tlay: jnp.ndarray, col_gas: jnp.
         ratio_eta_half = r1 / r2
         col_mix = g1 + ratio_eta_half * g2
         tiny = jnp.finfo(dtype).tiny
-        eta = jnp.where(col_mix > 2.0 * tiny, g1 / col_mix, 0.5)
+        col_mix_safe = jnp.where(col_mix > 2.0 * tiny, col_mix, 1.0)
+        eta = jnp.where(col_mix > 2.0 * tiny, g1 / col_mix_safe, 0.5)
         loceta = eta * (neta - 1)
         je = jnp.clip(loceta.astype(jnp.int32), 0, neta - 2)
         fe = loceta - je.astype(dtype)

@@ -122,9 +122,12 @@ def lw_source_noscat(tau_loc, trans, lay_source, lev_source):
         source_up = one_m_t * (lay_source + coeff * lev_top) / (1.0 + coeff)
         source_dn = one_m_t * (lay_source + coeff * lev_bot) / (1.0 + coeff)
         return source_dn, source_up
+    # double-where guards the unselected branch's backward pass (1/tau at
+    # tau -> 0 would otherwise produce Inf * 0 = NaN gradients)
+    tau_safe = jnp.where(tau_loc > tau_thresh, tau_loc, 1.0)
     fact = jnp.where(
         tau_loc > tau_thresh,
-        (1.0 - trans) / jnp.maximum(tau_loc, jnp.finfo(dtype).tiny) - trans,
+        (1.0 - trans) / tau_safe - trans,
         tau_loc * (0.5 - (1.0 / 3.0) * tau_loc),
     )
     one_m_t = 1.0 - trans
@@ -155,9 +158,10 @@ def _lw_noscat_broadband_fused(
 
     def sources_of(tl, lay, lev_t, lev_b):
         trans = _exp(-tl)
+        tl_safe = jnp.where(tl > tau_thresh, tl, 1.0)
         fact = jnp.where(
             tl > tau_thresh,
-            (1.0 - trans) / jnp.maximum(tl, jnp.finfo(dtype).tiny) - trans,
+            (1.0 - trans) / tl_safe - trans,
             tl * (0.5 - (1.0 / 3.0) * tl),
         )
         one_m_t = 1.0 - trans
@@ -257,9 +261,10 @@ def lw_noscat_broadband_from_pfrac(
 
     def sources_of(tl, pf, pfn, bla, ble, blen):
         trans = _exp(-tl)
+        tl_safe = jnp.where(tl > tau_thresh, tl, 1.0)
         fact = jnp.where(
             tl > tau_thresh,
-            (1.0 - trans) / jnp.maximum(tl, jnp.finfo(dtype).tiny) - trans,
+            (1.0 - trans) / tl_safe - trans,
             tl * (0.5 - (1.0 / 3.0) * tl),
         )
         lay = pf * (bla @ oh)
