@@ -57,6 +57,91 @@ def synthesize_gcm_columns(base: RFMIPData, ncol_target: int, seed: int = 0) -> 
     return out
 
 
+def gcm_sweep_allsky(
+    host: dict,
+    lw_models: Sequence[NNModel],
+    sw_models: Sequence[NNModel],
+    cloud_lw,
+    cloud_sw,
+    block_size: int = 65536,
+    mesh=None,
+    top_at_1: bool = True,
+    dtype=jnp.float32,
+) -> dict:
+    """Full LW+SW ALL-SKY streamed sweep (the BASELINE.json capstone
+    config): NN gas optics + idealized clouds (drivers.allsky.make_clouds
+    applied per block) -> LW no-scat + SW two-stream, broadband outputs."""
+    from ..extensions.cloud_optics import cloud_optics
+    from ..optical_props import OpticalProps1scl, OpticalProps2str, delta_scale, increment
+    from ..gas_concs import GasConcs
+    from ..rte import rte_lw, rte_sw
+    from .allsky import make_clouds
+
+    lw_spec = lw_spectral_g128()
+    sw_spec = sw_spectral_g112() if sw_models[0].n_outputs == 112 else None
+    if sw_spec is None:
+        from ..gasoptics.planck import sw_spectral_g224
+
+        sw_spec = sw_spectral_g224()
+    table = PlanckTable.compute(lw_spec.band_lims_wvn_array, dtype=dtype)
+    solar = jnp.asarray(default_solar_source(sw_spec), dtype)
+    gas_names = [k.split(":", 1)[1] for k in host if k.startswith("gas:")]
+
+    def step(play, plev, tlay, tlev, tsfc, emis, alb, mu0, lwp, iwp, rel, rei, *gas_vals):
+        nlay = play.shape[1]
+        concs = {
+            g: (v if v.ndim == 2 else jnp.broadcast_to(v[:, None], (v.shape[0], nlay)))
+            for g, v in zip(gas_names, gas_vals)
+        }
+        gd = GasConcs(concs)
+        from ..gasoptics.nn_gas_optics import gas_optics_lw_nn, gas_optics_sw_nn
+
+        tau, sources = gas_optics_lw_nn(
+            lw_models, play, plev, tlay, tsfc, gd, lw_spec, table, tlev=tlev,
+            top_at_1=top_at_1,
+        )
+        atmos_lw = increment(
+            OpticalProps1scl(tau, lw_spec),
+            cloud_optics(cloud_lw, lwp, iwp, rel, rei, as_2str=False),
+        )
+        emis_b = jnp.broadcast_to(emis[:, None], (play.shape[0], lw_spec.nband))
+        sol_lw = rte_lw(atmos_lw, top_at_1, sources, emis_b, broadband=True)
+
+        tau_sw, ssa_sw, toa = gas_optics_sw_nn(sw_models, play, plev, tlay, gd, sw_spec, solar)
+        clouds_sw = delta_scale(cloud_optics(cloud_sw, lwp, iwp, rel, rei, as_2str=True))
+        atmos_sw = increment(
+            OpticalProps2str(tau_sw, ssa_sw, jnp.zeros_like(tau_sw), sw_spec), clouds_sw
+        )
+        alb_g = alb[:, None] * jnp.ones_like(toa)
+        sol_sw = rte_sw(atmos_sw, top_at_1, mu0, toa, alb_g, alb_g, broadband=True)
+        return sol_lw.flux_up[:, 0], sol_lw.flux_dn[:, -1], sol_sw.flux_dn[:, -1]
+
+    ncol = host["play"].shape[0]
+    mu0 = np.clip(np.cos(np.deg2rad(host["sza"])), 0.05, 1.0).astype(np.float32)
+    lwp, iwp, rel, rei = make_clouds(host["play"], host["tlay"], cloud_lw)
+    arrays = [host["play"], host["plev"], host["tlay"], host["tlev"], host["tsfc"],
+              host["sfc_emis"], host["sfc_alb"], mu0,
+              lwp.astype(np.float32), iwp.astype(np.float32),
+              rel.astype(np.float32), rei.astype(np.float32)]
+    arrays += [host[f"gas:{g}"] for g in gas_names]
+
+    t0 = time.perf_counter()
+    outs = stream_reduce(
+        jax.jit(step), arrays, block_size,
+        lambda n: [np.zeros(n, np.float32) for _ in range(3)],
+    )
+    elapsed = time.perf_counter() - t0
+    olr, lw_sfc_dn, sw_sfc_dn = outs
+    return {
+        "ncol": ncol,
+        "elapsed_s": elapsed,
+        "columns_per_s": ncol / elapsed,
+        "mean_olr": float(olr.mean()),
+        "mean_lw_sfc_dn": float(lw_sfc_dn.mean()),
+        "mean_sw_sfc_dn": float(sw_sfc_dn.mean()),
+    }
+
+
 def gcm_sweep_lw(
     host: dict,
     models: Sequence[NNModel],

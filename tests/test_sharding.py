@@ -114,3 +114,38 @@ class TestStreaming:
         ref0, ref1 = fn(jnp.asarray(a), jnp.asarray(b))
         np.testing.assert_allclose(outs[0], np.asarray(ref0), rtol=1e-6)
         np.testing.assert_allclose(outs[1], np.asarray(ref1), rtol=1e-6)
+
+
+class TestGCMSweep:
+    def test_allsky_sweep_small(self):
+        """The streamed all-sky LW+SW GCM sweep (capstone config) on a
+        small column set: physical outputs, correct block stitching."""
+        import os
+
+        rfmip = (
+            "/root/reference/examples/rfmip-clear-sky/"
+            "multiple_input4MIPs_radiation_RFMIP_UColorado-RFMIP-1-2_none.nc"
+        )
+        clw_p = "/root/reference/extensions/cloud_optics/rrtmgp-cloud-optics-coeffs-lw.nc"
+        if not (os.path.exists(rfmip) and os.path.exists(clw_p)):
+            pytest.skip("reference data not available")
+        from rte_rrtmgp_nn_tpu.drivers.gcm import gcm_sweep_allsky, synthesize_gcm_columns
+        from rte_rrtmgp_nn_tpu.drivers.rfmip_io import read_rfmip
+        from rte_rrtmgp_nn_tpu.extensions.cloud_optics import load_cloud_optics
+        from rte_rrtmgp_nn_tpu.models.network import load_model_netcdf
+
+        D = "/root/reference/neural/data/"
+        base = read_rfmip(rfmip)
+        host = synthesize_gcm_columns(base, 700)  # not a block multiple
+        lw = [load_model_netcdf(D + "lw-g128-210809_both_BEST.nc")]
+        sw = [
+            load_model_netcdf(D + "sw-g112-210809_absorption_BEST.nc"),
+            load_model_netcdf(D + "sw-g112-210809_rayleigh_BEST.nc"),
+        ]
+        clw = load_cloud_optics(clw_p)
+        csw = load_cloud_optics(clw_p.replace("-lw.nc", "-sw.nc"))
+        stats = gcm_sweep_allsky(host, lw, sw, clw, csw, block_size=256, top_at_1=base.top_at_1)
+        assert stats["ncol"] == 700
+        assert 120 < stats["mean_olr"] < 320  # cloudy-sky OLR
+        assert 200 < stats["mean_lw_sfc_dn"] < 450
+        assert stats["columns_per_s"] > 0
