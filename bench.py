@@ -100,12 +100,29 @@ def main() -> None:
     jax.block_until_ready((lw, sw))
     elapsed = (time.perf_counter() - t0) / n_iter
 
+    # per-path sub-timings
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        lw = lw_fn(*lw_args)
+    jax.block_until_ready(lw)
+    lw_elapsed = (time.perf_counter() - t0) / n_iter
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        sw = sw_fn(*sw_args)
+    jax.block_until_ready(sw)
+    sw_elapsed = (time.perf_counter() - t0) / n_iter
+
     cols_per_s = ncol / elapsed
     result = {
         "metric": "rfmip_clearsky_lw_sw_columns_per_s_per_chip",
         "value": round(cols_per_s, 1),
         "unit": "columns/s",
         "vs_baseline": round(cols_per_s / BASELINE_COLS_PER_S, 2),
+        "lw_ms": round(lw_elapsed * 1e3, 2),
+        "sw_ms": round(sw_elapsed * 1e3, 2),
+        "ncol": ncol,
+        "vs_baseline_lw": round((ncol / lw_elapsed) / (1800.0 / 0.1834), 2),
+        "vs_baseline_sw": round((ncol / sw_elapsed) / (1800.0 / 0.2710), 2),
     }
     # sanity guard: don't report garbage physics
     mean_dn = float(np.mean(np.asarray(lw.flux_dn)))
