@@ -176,3 +176,62 @@ class TestClrAllSky:
         fb = rte_sw_allsky(sw_kd, play, plev, tlay, gc, mu0, alb, alb)
         assert np.all(np.isfinite(np.asarray(fb.flux_dn)))
         assert np.all(np.asarray(fb.flux_dn_dir) <= np.asarray(fb.flux_dn) + 1e-6)
+
+
+class TestMcICAEndToEnd:
+    def test_mcica_converges_to_cloud_fraction_average(self, lw_kd):
+        """Full McICA chain: overlap-sampled g-point cloud masks ->
+        draw_samples_to -> increment -> LW solve. With many g-points the
+        McICA estimate of the all-sky flux approaches the
+        cloud-fraction-weighted average of clear and overcast solves."""
+        import jax
+
+        from rte_rrtmgp_nn_tpu.extensions.cloud_sampling import (
+            draw_samples_to,
+            sampled_mask_max_ran,
+        )
+        from rte_rrtmgp_nn_tpu.gasoptics.lut_gas_optics import gas_optics_lw_lut
+        from rte_rrtmgp_nn_tpu.optical_props import OpticalProps2str, increment
+        from rte_rrtmgp_nn_tpu.rte import rte_lw
+        from rte_rrtmgp_nn_tpu.fluxes import reduce_broadband
+
+        play, plev, tlay, tlev, tsfc, gc = make_atmosphere(ncol=4, nlay=12)
+        ncol, nlay = play.shape
+        props, sources = gas_optics_lw_lut(lw_kd, play, plev, tlay, tsfc, gc, tlev=tlev)
+        emis = jnp.full((ncol, lw_kd.nband), 0.98, play.dtype)
+        band_sm = SpectralMapping.bands_only(lw_kd.spectral.band_lims_wvn_array)
+
+        # single-layer cloud deck with fraction 0.5 at layers 6-8
+        cf = jnp.zeros((ncol, nlay)).at[:, 6:9].set(0.5)
+        ctau_band = jnp.where(
+            (cf > 0)[:, :, None], 4.0, 0.0
+        ) * jnp.ones((1, 1, lw_kd.nband))
+        clouds_band = OpticalProps2str(
+            ctau_band, jnp.full_like(ctau_band, 0.4), jnp.full_like(ctau_band, 0.85), band_sm
+        )
+
+        def solve(cloud_props):
+            atmos = increment(props, cloud_props) if cloud_props is not None else props
+            sol = rte_lw(atmos, True, sources, emis, broadband=True)
+            return sol.flux_up
+
+        up_clear = solve(None)
+        overcast = OpticalProps2str(
+            jnp.where((cf > 0)[:, :, None], 4.0, 0.0) * jnp.ones((1, 1, lw_kd.nband)),
+            clouds_band.ssa, clouds_band.g, band_sm,
+        )
+        up_over = solve(overcast)
+        expected = 0.5 * up_clear + 0.5 * up_over  # max overlap, single deck
+
+        # McICA: average over several independent sample draws
+        ups = []
+        for seed in range(6):
+            rnd = jax.random.uniform(jax.random.PRNGKey(seed), (ncol, nlay, lw_kd.ngpt))
+            mask = sampled_mask_max_ran(rnd, cf)
+            sampled = draw_samples_to(lw_kd.spectral, mask, clouds_band)
+            ups.append(np.asarray(solve(sampled)))
+        mcica = np.mean(ups, axis=0)
+        # noise ~ 1/sqrt(ngpt*nseeds); tolerance a few W/m2 relative to the
+        # clear-overcast contrast
+        contrast = float(jnp.abs(up_clear - up_over).max())
+        assert np.max(np.abs(mcica - np.asarray(expected))) < 0.15 * contrast + 0.5
