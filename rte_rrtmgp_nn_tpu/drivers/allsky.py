@@ -15,7 +15,6 @@ rrtmgp_allsky.F90:479,487) remain the comparison target at NN accuracy.
 """
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Optional, Sequence
 
@@ -31,7 +30,6 @@ from ..models.network import NNModel
 from ..optical_props import OpticalProps1scl, OpticalProps2str, delta_scale, increment
 from ..rte import rte_lw, rte_sw
 from ..spectral import SpectralMapping
-from ..utils import ncio
 from .allsky_io import GarandAtmosphere  # noqa: F401 (re-export)
 from .allsky_io import read_garand
 from .rfmip import default_solar_source

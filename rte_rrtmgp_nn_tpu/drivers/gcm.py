@@ -9,19 +9,18 @@ analogue.
 """
 from __future__ import annotations
 
-import functools
 import time
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..drivers.rfmip import _lw_core, _sw_core, default_solar_source
-from ..drivers.rfmip_io import RFMIPData, read_rfmip
+from ..drivers.rfmip import _lw_core, default_solar_source
+from ..drivers.rfmip_io import RFMIPData
 from ..gasoptics.planck import PlanckTable, lw_spectral_g128, sw_spectral_g112
 from ..models.network import NNModel
-from ..parallel.sharding import column_sharding, make_mesh, replicated
+from ..parallel.sharding import column_sharding
 from ..parallel.streaming import stream_reduce
 
 

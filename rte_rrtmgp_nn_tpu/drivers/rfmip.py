@@ -18,9 +18,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..fluxes import FluxesBroadband, reduce_broadband
+from ..fluxes import FluxesBroadband
 from ..gas_concs import GasConcs
-from ..gasoptics.nn_gas_optics import gas_optics_lw_nn, gas_optics_sw_nn, interp_tlev
+from ..gasoptics.nn_gas_optics import gas_optics_lw_nn, gas_optics_sw_nn
 from ..gasoptics.planck import (
     PlanckTable,
     lw_spectral_g128,

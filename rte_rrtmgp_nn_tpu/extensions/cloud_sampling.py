@@ -12,8 +12,6 @@ first/last-cloudy-layer trimming is implied by the cf > 0 masking.
 """
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 

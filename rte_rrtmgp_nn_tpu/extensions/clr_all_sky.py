@@ -6,11 +6,9 @@ returning both clear-sky and all-sky fluxes when requested.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
-import jax.numpy as jnp
-
-from ..fluxes import FluxesBroadband, reduce_broadband
+from ..fluxes import reduce_broadband
 from ..gas_concs import GasConcs
 from ..gasoptics.kdist import KDist
 from ..gasoptics.lut_gas_optics import gas_optics_lw_lut, gas_optics_sw_lut

@@ -19,10 +19,8 @@ troposphere split is a mask, not a layer-range loop.
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -118,13 +116,26 @@ def interpolation(kd: KDist, play: jnp.ndarray, tlay: jnp.ndarray, col_gas: jnp.
 
 
 def _per_gpt_flavor(kd: KDist, ic: InterpCoeffs):
-    """Per-(col,lay,gpt) flavor-dependent quantities via static per-g-point
-    flavor index arrays."""
+    """Per-(col,lay,gpt) flavor index via the static per-g-point flavor
+    arrays (lower/upper atmosphere selected by the troposphere mask)."""
     gf = np.asarray(kd.gpoint_flavor, dtype=np.int64)  # (ngpt, 2) [lower, upper]
     flav_lower = jnp.asarray(gf[:, 0])
     flav_upper = jnp.asarray(gf[:, 1])
     iflav = jnp.where(ic.tropo[..., None], flav_lower, flav_upper)  # (ncol, nlay, ngpt)
     return iflav
+
+
+def _select_flavored(arr, iflav):
+    """Gather per-flavor arrays (ncol, nlay, nflav, ...) to per-g-point
+    (ncol, nlay, ngpt, ...) using the (ncol, nlay, ngpt) flavor index."""
+    ncol, nlay, ngpt = iflav.shape
+    moved = jnp.moveaxis(arr, 2, -1)  # (..., nflav)
+    out = jnp.take_along_axis(
+        moved[..., None, :],
+        iflav.reshape(ncol, nlay, *([1] * (arr.ndim - 3)), ngpt, 1),
+        axis=-1,
+    )[..., 0]
+    return jnp.moveaxis(out, -1, 2)
 
 
 def tau_major(kd: KDist, ic: InterpCoeffs) -> jnp.ndarray:
@@ -138,18 +149,10 @@ def tau_major(kd: KDist, ic: InterpCoeffs) -> jnp.ndarray:
     iflav = _per_gpt_flavor(kd, ic)  # (ncol, nlay, ngpt)
     itropo0 = jnp.where(ic.tropo, 0, 1)  # 0 lower -> pressure plane offset
 
-    def sel_flav(arr):  # arr (ncol, nlay, nflav, ...) -> (ncol, nlay, ngpt, ...)
-        moved = jnp.moveaxis(arr, 2, -1)  # (..., nflav)
-        out = jnp.take_along_axis(
-            moved[..., None, :],  # (ncol, nlay, [dims], 1, nflav)
-            iflav.reshape(ncol, nlay, *([1] * (arr.ndim - 3)), ngpt, 1),
-            axis=-1,
-        )[..., 0]
-        return jnp.moveaxis(out, -1, 2)  # (ncol, nlay, ngpt, [dims])
-
-    jeta_g = sel_flav(ic.jeta)  # (ncol, nlay, ngpt, 2)
-    feta_g = sel_flav(ic.feta)
-    colmix_g = sel_flav(ic.col_mix)
+    _sel = lambda a: _select_flavored(a, iflav)
+    jeta_g = _sel(ic.jeta)  # (ncol, nlay, ngpt, 2)
+    feta_g = _sel(ic.feta)
+    colmix_g = _sel(ic.col_mix)
     ftemp_term = jnp.stack([1.0 - ic.ftemp, ic.ftemp], axis=-1)  # (ncol, nlay, 2)
     fpress_term = jnp.stack([1.0 - ic.fpress, ic.fpress], axis=-1)  # (ncol, nlay, 2)
 
@@ -270,17 +273,9 @@ def compute_tau_rayleigh(
 
     iflav = _per_gpt_flavor(kd, ic)  # (ncol, nlay, ngpt)
 
-    def sel_flav(arr):
-        moved = jnp.moveaxis(arr, 2, -1)
-        out = jnp.take_along_axis(
-            moved[..., None, :],
-            iflav.reshape(ncol, nlay, *([1] * (arr.ndim - 3)), ngpt, 1),
-            axis=-1,
-        )[..., 0]
-        return jnp.moveaxis(out, -1, 2)
-
-    jeta_g = sel_flav(ic.jeta)  # (ncol, nlay, ngpt, 2)
-    feta_g = sel_flav(ic.feta)
+    _sel = lambda a: _select_flavored(a, iflav)
+    jeta_g = _sel(ic.jeta)  # (ncol, nlay, ngpt, 2)
+    feta_g = _sel(ic.feta)
     itropo0 = jnp.where(ic.tropo, 0, 1)[..., None]  # (ncol, nlay, 1)
 
     # krayl (2, ntemp, neta, ngpt) -> flat (2*ntemp*neta, ngpt)
@@ -318,17 +313,9 @@ def compute_planck_source(
     # pfrac: 3-D interpolation with scaling = 1 on the pfracin table
     iflav = _per_gpt_flavor(kd, ic)
 
-    def sel_flav(arr):
-        moved = jnp.moveaxis(arr, 2, -1)
-        out = jnp.take_along_axis(
-            moved[..., None, :],
-            iflav.reshape(ncol, nlay, *([1] * (arr.ndim - 3)), ngpt, 1),
-            axis=-1,
-        )[..., 0]
-        return jnp.moveaxis(out, -1, 2)
-
-    jeta_g = sel_flav(ic.jeta)
-    feta_g = sel_flav(ic.feta)
+    _sel = lambda a: _select_flavored(a, iflav)
+    jeta_g = _sel(ic.jeta)
+    feta_g = _sel(ic.feta)
     ftemp_term = jnp.stack([1.0 - ic.ftemp, ic.ftemp], axis=-1)
     fpress_term = jnp.stack([1.0 - ic.fpress, ic.fpress], axis=-1)
     itropo0 = jnp.where(ic.tropo, 0, 1)

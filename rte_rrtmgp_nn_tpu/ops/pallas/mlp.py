@@ -16,8 +16,6 @@ exercised by CPU tests.
 from __future__ import annotations
 
 import functools
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

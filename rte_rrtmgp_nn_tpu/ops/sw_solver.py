@@ -14,7 +14,7 @@ are elementwise; diffuse transport is the adding method (see ops/adding).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ over the 'col' axis as it is put.
 """
 from __future__ import annotations
 
-from typing import Callable, Iterable, Iterator, Optional, Sequence
+from typing import Callable, Iterator, Sequence
 
 import jax
 import numpy as np

@@ -18,7 +18,6 @@ from typing import Optional
 import jax.numpy as jnp
 
 from .config import config
-from .fluxes import FluxesBroadband, reduce_broadband
 from .optical_props import OpticalProps1scl, OpticalProps2str, OpticalPropsNstr
 from .ops.lw_solver import LWSolution, lw_solver_2stream, lw_solver_noscat
 from .ops.sw_solver import SWSolution, sw_solver_2stream, sw_solver_noscat

@@ -16,9 +16,8 @@ boundary, and it stays on-device.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

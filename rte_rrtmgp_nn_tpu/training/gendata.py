@@ -10,7 +10,6 @@ training loader (ml_load_save_preproc.load_rrtmgp:173-280).
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional, Sequence
 
 import jax.numpy as jnp
