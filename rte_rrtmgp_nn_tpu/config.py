@@ -42,6 +42,11 @@ class RTEConfig:
     # Compute the surface-temperature Jacobian of upward flux
     # (reference compute_Jac, mo_rte_rrtmgp_config.F90:28).
     compute_jac: bool = False
+    # Route the broadband LW no-scat solve through the hand-scheduled
+    # Pallas kernel (ops/pallas/lw_solver.py). Measured ~10-15% faster than
+    # the fused XLA scan on TPU at RFMIP scale, but the solver is <2% of
+    # the LW pipeline; off by default, flip on for solver-dominated runs.
+    use_pallas_lw_solver: bool = False
 
     @property
     def eps(self) -> float:

@@ -347,6 +347,18 @@ def _lw_solver_noscat_1angle(
     two_pi_w = jnp.asarray(2.0 * np.pi * weight, dtype)
 
     if broadband and not do_rescaling and not config.use_pade_source:
+        if (
+            config.use_pallas_lw_solver
+            and sfc_source_jac is None
+            and tau.dtype == jnp.float32
+        ):
+            from .pallas.lw_solver import lw_noscat_broadband_pallas
+
+            bb_up, bb_dn = lw_noscat_broadband_pallas(
+                tau, lay_source, lev_source, sfc_emis, sfc_source,
+                d_secant=D, weight=weight, inc_rad=inc_flux / two_pi_w,
+            )
+            return LWSolution(bb_up, bb_dn, None)
         return _lw_noscat_broadband_fused(
             tau, lay_source, lev_source, sfc_emis, sfc_source, inc_flux,
             D, weight, sfc_source_jac,
