@@ -99,15 +99,16 @@ def _albedo_src_sequential(albedo_sfc, rdif, tdif, src_dn, src_up, src_sfc):
         return (alb, src), (alb, src)
 
     xs = (
-        jnp.flip(jnp.moveaxis(rdif, 1, 0), 0),
-        jnp.flip(jnp.moveaxis(tdif, 1, 0), 0),
-        jnp.flip(jnp.moveaxis(src_dn, 1, 0), 0),
-        jnp.flip(jnp.moveaxis(src_up, 1, 0), 0),
+        jnp.moveaxis(rdif, 1, 0),
+        jnp.moveaxis(tdif, 1, 0),
+        jnp.moveaxis(src_dn, 1, 0),
+        jnp.moveaxis(src_up, 1, 0),
     )
-    (_, _), (albs, srcs) = jax.lax.scan(step, (albedo_sfc, src_sfc), xs)
-    # albs[k] is the albedo at level nlay-1-k; assemble levels 0..nlay.
-    albedo = jnp.concatenate([jnp.flip(albs, 0), albedo_sfc[None]], axis=0)
-    src = jnp.concatenate([jnp.flip(srcs, 0), src_sfc[None]], axis=0)
+    # reverse=True walks surface-to-top and stacks outputs in layer order --
+    # no materialized reversed copies of the four (nlay, ncol, ngpt) inputs
+    (_, _), (albs, srcs) = jax.lax.scan(step, (albedo_sfc, src_sfc), xs, reverse=True)
+    albedo = jnp.concatenate([albs, albedo_sfc[None]], axis=0)
+    src = jnp.concatenate([srcs, src_sfc[None]], axis=0)
     return jnp.moveaxis(albedo, 0, 1), jnp.moveaxis(src, 0, 1)
 
 

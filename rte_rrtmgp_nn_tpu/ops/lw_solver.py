@@ -99,10 +99,19 @@ def _affine_scan_broadband(trans, source, r0):
 
 
 def _affine_scan_broadband_reverse(trans, source, r_last):
-    t = jnp.flip(trans, 1)
-    s = jnp.flip(source, 1)
-    bb, r_top = _affine_scan_broadband(t, s, r_last)
-    return jnp.flip(bb, 1), r_top
+    # lax.scan(reverse=True) iterates bottom-up without materializing
+    # reversed copies of the (ncol, nlay, ngpt) inputs (each flip is a
+    # full HBM round-trip at RFMIP scale).
+    def step(r, ts):
+        t, s = ts
+        r_next = t * r + s
+        return r_next, jnp.sum(r_next, axis=-1)
+
+    t = jnp.moveaxis(trans, 1, 0)
+    s = jnp.moveaxis(source, 1, 0)
+    r_top, sums = jax.lax.scan(step, r_last, (t, s), reverse=True)
+    bb = jnp.concatenate([jnp.moveaxis(sums, 0, 1), jnp.sum(r_last, -1)[:, None]], axis=1)
+    return bb, r_top
 
 
 def lw_source_noscat(tau_loc, trans, lay_source, lev_source):
@@ -192,17 +201,20 @@ def _lw_noscat_broadband_fused(
     jac_sfc = (
         sfc_emis * sfc_source_jac if sfc_source_jac is not None else jnp.zeros_like(rad_sfc)
     )
+    # reverse=True walks bottom-up and stacks outputs in layer order --
+    # no reversed copies of the three (nlay, ncol, ngpt) inputs in HBM
     (_, _), (up_sums, jac_sums) = jax.lax.scan(
         up, (rad_sfc, jac_sfc),
-        (tau_l[::-1], lay_l[::-1], lev_top_l[::-1], lev_bot_l[::-1]),
+        (tau_l, lay_l, lev_top_l, lev_bot_l),
+        reverse=True,
     )
     bb_up = jnp.concatenate(
-        [jnp.moveaxis(up_sums, 0, 1)[:, ::-1], jnp.sum(rad_sfc, -1)[:, None]], 1
+        [jnp.moveaxis(up_sums, 0, 1), jnp.sum(rad_sfc, -1)[:, None]], 1
     )
     flux_up_jac = None
     if sfc_source_jac is not None:
         flux_up_jac = jnp.concatenate(
-            [jnp.moveaxis(jac_sums, 0, 1)[:, ::-1], jnp.sum(jac_sfc, -1)[:, None]], 1
+            [jnp.moveaxis(jac_sums, 0, 1), jnp.sum(jac_sfc, -1)[:, None]], 1
         ) * two_pi_w
     return LWSolution(bb_up * two_pi_w, bb_dn * two_pi_w, flux_up_jac)
 
@@ -301,15 +313,18 @@ def lw_noscat_broadband_from_pfrac(
         if compute_jac
         else jnp.zeros_like(rad_sfc)
     )
-    xs_rev = tuple(x[::-1] for x in xs)
-    (_, _), (up_sums, jac_sums) = jax.lax.scan(up, (rad_sfc, jac_sfc), xs_rev)
+    # reverse=True: bottom-up sweep, outputs stacked in layer order, no
+    # reversed copies of the six scan inputs in HBM
+    (_, _), (up_sums, jac_sums) = jax.lax.scan(
+        up, (rad_sfc, jac_sfc), xs, reverse=True
+    )
     bb_up = jnp.concatenate(
-        [jnp.moveaxis(up_sums, 0, 1)[:, ::-1], jnp.sum(rad_sfc, -1)[:, None]], 1
+        [jnp.moveaxis(up_sums, 0, 1), jnp.sum(rad_sfc, -1)[:, None]], 1
     )
     jac_bb = None
     if compute_jac:
         jac_bb = jnp.concatenate(
-            [jnp.moveaxis(jac_sums, 0, 1)[:, ::-1], jnp.sum(jac_sfc, -1)[:, None]], 1
+            [jnp.moveaxis(jac_sums, 0, 1), jnp.sum(jac_sfc, -1)[:, None]], 1
         ) * two_pi_w
     out = LWSolution(bb_up * two_pi_w, bb_dn * two_pi_w, jac_bb)
     if not top_at_1:
@@ -416,8 +431,8 @@ def _lw_solver_noscat_1angle(
         # Jacobian propagates with transmission only: cumulative product of
         # trans from the surface upward == exp(-reverse-cumsum(tau_loc)).
         jac_sfc = sfc_emis * sfc_source_jac
-        cum = jnp.cumsum(jnp.flip(tau_loc, 1), axis=1)
-        prod_up = jnp.flip(jnp.exp(-cum), 1)  # (ncol, nlay, ngpt): prod of trans[l..]
+        # lax.cumsum(reverse=True): suffix sum without materialized flips
+        prod_up = jnp.exp(-jax.lax.cumsum(tau_loc, axis=1, reverse=True))
         flux_up_jac = jnp.concatenate(
             [prod_up * jac_sfc[:, None, :], jac_sfc[:, None, :]], axis=1
         ) * two_pi_w

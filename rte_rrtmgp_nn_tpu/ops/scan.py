@@ -69,7 +69,24 @@ def affine_scan_reverse(
     """Solve r[k] = trans[k] * r[k+1] + source[k] (upward sweep).
 
     Returns r with nlay+1 entries along ``axis`` (r[nlay] = r_last).
+    Sequential mode iterates bottom-up via ``lax.scan(reverse=True)`` --
+    no materialized reversed copies of the inputs (each flip of an
+    (ncol, nlay, ngpt) array is a full HBM round-trip).
     """
+    if mode == "sequential":
+        dtype = jnp.result_type(trans.dtype, source.dtype, r_last.dtype)
+        t = jnp.moveaxis(trans, axis, 0).astype(dtype)
+        s = jnp.moveaxis(source, axis, 0).astype(dtype)
+        r_last = r_last.astype(dtype)
+
+        def step(r, ts):
+            tk, sk = ts
+            r_prev = tk * r + sk
+            return r_prev, r_prev
+
+        _, rs = jax.lax.scan(step, r_last, (t, s), reverse=True)
+        out = jnp.concatenate([rs, r_last[None]], axis=0)
+        return jnp.moveaxis(out, 0, axis)
     t = jnp.flip(trans, axis)
     s = jnp.flip(source, axis)
     out = affine_scan(t, s, r_last, axis=axis, mode=mode)

@@ -204,12 +204,13 @@ def _sw_2stream_broadband_fused(tau, ssa, g, mu0, inc_flux_dir, sfc_alb_dir, sfc
 
     alb_sfc = sfc_alb_dif
     src_sfc = flux_dn_dir[:, -1, :] * sfc_alb_dir
+    # reverse=True walks surface-to-top and stacks (albs, srcs) in layer
+    # order directly -- no reversed copies of the four scan inputs in HBM
     (_, _), (albs, srcs) = jax.lax.scan(
         up, (alb_sfc, src_sfc),
-        (tau_l[::-1], ssa_l[::-1], g_l[::-1], dir_top_l[::-1]),
+        (tau_l, ssa_l, g_l, dir_top_l),
+        reverse=True,
     )
-    albs = albs[::-1]  # albs[l] = albedo at level l, l = 0..nlay-1
-    srcs = srcs[::-1]
     alb_below_l = jnp.concatenate([albs[1:], alb_sfc[None]], 0)  # level l+1
     src_below_l = jnp.concatenate([srcs[1:], src_sfc[None]], 0)
 
