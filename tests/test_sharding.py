@@ -149,3 +149,50 @@ class TestGCMSweep:
         assert 120 < stats["mean_olr"] < 320  # cloudy-sky OLR
         assert 200 < stats["mean_lw_sfc_dn"] < 450
         assert stats["columns_per_s"] > 0
+
+
+class TestShardMap:
+    """Explicit shard_map SPMD (parallel/shard_ops.py)."""
+
+    def test_columnwise_shard_map_matches_global(self):
+        from rte_rrtmgp_nn_tpu.ops.lw_solver import lw_solver_noscat
+        from rte_rrtmgp_nn_tpu.parallel.shard_ops import columnwise_shard_map
+        from rte_rrtmgp_nn_tpu.parallel.sharding import make_mesh, shard_columns
+
+        mesh = make_mesh(n_col=8)
+        r = np.random.default_rng(11)
+        ncol, nlay, ngpt = 64, 9, 16
+        mk = lambda *s: jnp.asarray(r.uniform(0.1, 1.0, s), jnp.float32)
+        args = (mk(ncol, nlay, ngpt), mk(ncol, nlay, ngpt), mk(ncol, nlay + 1, ngpt),
+                mk(ncol, ngpt), mk(ncol, ngpt))
+        ref = lw_solver_noscat(*args, broadband=True)
+
+        def solve(tau, lay, lev, emis, sfc):
+            out = lw_solver_noscat(tau, lay, lev, emis, sfc, broadband=True)
+            return out.flux_up, out.flux_dn
+
+        fn = jax.jit(columnwise_shard_map(mesh, solve, n_array_args=5))
+        sharded = shard_columns(args, mesh)
+        up, dn = fn(*sharded)
+        np.testing.assert_allclose(np.asarray(up), np.asarray(ref.flux_up), rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dn), np.asarray(ref.flux_dn), rtol=1e-6, atol=1e-6)
+
+    def test_flux_stats_distributed(self):
+        from rte_rrtmgp_nn_tpu.parallel.shard_ops import flux_stats, weighted_error_stats
+        from rte_rrtmgp_nn_tpu.parallel.sharding import make_mesh, shard_columns
+
+        mesh = make_mesh(n_col=4, n_gpt=2)
+        r = np.random.default_rng(7)
+        x = r.normal(100.0, 20.0, (32, 13)).astype(np.float32)
+        y = x + r.normal(0.0, 0.5, x.shape).astype(np.float32)
+        xs = shard_columns(jnp.asarray(x), mesh)
+        ys = shard_columns(jnp.asarray(y), mesh)
+        mean, lo, hi = jax.jit(lambda a: flux_stats(mesh, a))(xs)
+        assert abs(float(mean) - x.mean()) < 1e-3
+        assert abs(float(lo) - x.min()) < 1e-5
+        assert abs(float(hi) - x.max()) < 1e-5
+        mae, rmse, mx = jax.jit(lambda a, b: weighted_error_stats(mesh, a, b))(ys, xs)
+        d = np.abs(y - x)
+        assert abs(float(mae) - d.mean()) < 1e-4
+        assert abs(float(rmse) - np.sqrt((d ** 2).mean())) < 1e-4
+        assert abs(float(mx) - d.max()) < 1e-5
