@@ -23,8 +23,8 @@ def main() -> None:
     import jax.numpy as jnp
 
     from rte_rrtmgp_nn_tpu.drivers.rfmip import (
-        _lw_core,
-        _sw_core,
+        _lw_core_lay_major,
+        _sw_core_lay_major,
         default_solar_source,
     )
     from rte_rrtmgp_nn_tpu.drivers.rfmip_io import read_rfmip
@@ -57,14 +57,14 @@ def main() -> None:
 
     lw_fn = jax.jit(
         functools.partial(
-            _lw_core, lw_models, table, lw_spec,
-            top_at_1=data.top_at_1, n_gauss_angles=1, scan_mode="sequential",
+            _lw_core_lay_major, lw_models, table, lw_spec,
+            top_at_1=data.top_at_1,
         )
     )
     sw_fn = jax.jit(
         functools.partial(
-            _sw_core, sw_models, sw_spec, solar,
-            top_at_1=data.top_at_1, scan_mode="sequential",
+            _sw_core_lay_major, sw_models, sw_spec, solar,
+            top_at_1=data.top_at_1,
         )
     )
 

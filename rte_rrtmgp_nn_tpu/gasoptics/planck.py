@@ -215,6 +215,7 @@ def compute_planck_source_nn(
     table: PlanckTable,
     top_at_1: bool = True,
     delta_tsfc: float = 1.0,
+    lay_axis: int = 1,
 ):
     """Planck sources from an NN-predicted Planck fraction.
 
@@ -228,28 +229,38 @@ def compute_planck_source_nn(
     layer l (0-based: level l takes pfrac[min(l, nlay-1)]), i.e. levels
     0..nlay-1 use their adjacent layer and the bottom level reuses the last
     layer's fraction.
+
+    lay_axis=0 selects the layer-major layout: pfrac (nlay, ncol, ngpt),
+    tlay (nlay, ncol), tlev (nlay+1, ncol), tsfc still (ncol,) -- the
+    transpose-free fast path feeding lax.scan solvers directly.
     """
-    ncol, nlay, ngpt = pfrac.shape
+    nlay = pfrac.shape[lay_axis]
     sfc_lay = 0 if not top_at_1 else nlay - 1
 
     def expand(bnd_vals):
         return spectral.expand(bnd_vals)
 
-    planck_lay = expand(table.interpolate(tlay))  # (ncol, nlay, ngpt)
-    planck_lev = expand(table.interpolate(tlev))  # (ncol, nlay+1, ngpt)
+    planck_lay = expand(table.interpolate(tlay))
+    planck_lev = expand(table.interpolate(tlev))
     planck_sfc = expand(table.interpolate(tsfc))  # (ncol, ngpt)
     planck_sfc_jac = expand(table.interpolate(tsfc + delta_tsfc))
 
     lay_source = pfrac * planck_lay
     # pfrac at levels: level l <- pfrac of layer min(l, nlay-1) (reference
     # assigns lev 1..nlay from layer 1..nlay and lev nlay+1 from layer nlay).
-    pfrac_lev = jnp.concatenate([pfrac, pfrac[:, -1:, :]], axis=1)
-    if not top_at_1:
-        # mirrored orientation: level l <- layer max(l-1, 0)
-        pfrac_lev = jnp.concatenate([pfrac[:, :1, :], pfrac], axis=1)
+    if lay_axis == 0:
+        pfrac_lev = jnp.concatenate([pfrac, pfrac[-1:]], axis=0)
+        if not top_at_1:
+            pfrac_lev = jnp.concatenate([pfrac[:1], pfrac], axis=0)
+        pfrac_sfc = pfrac[sfc_lay]
+    else:
+        pfrac_lev = jnp.concatenate([pfrac, pfrac[:, -1:, :]], axis=1)
+        if not top_at_1:
+            # mirrored orientation: level l <- layer max(l-1, 0)
+            pfrac_lev = jnp.concatenate([pfrac[:, :1, :], pfrac], axis=1)
+        pfrac_sfc = pfrac[:, sfc_lay, :]
     lev_source = pfrac_lev * planck_lev
 
-    pfrac_sfc = pfrac[:, sfc_lay, :]
     sfc_source = pfrac_sfc * planck_sfc
     sfc_source_jac = pfrac_sfc * (planck_sfc_jac - planck_sfc)
     return lay_source, lev_source, sfc_source, sfc_source_jac

@@ -147,23 +147,36 @@ def lw_source_noscat(tau_loc, trans, lay_source, lev_source):
 
 def _lw_noscat_broadband_fused(
     tau, lay_source, lev_source, sfc_emis, sfc_source, inc_flux, D, weight,
-    sfc_source_jac=None,
+    sfc_source_jac=None, lay_major=False,
 ):
     """Fully-fused broadband no-scat solve: optical path, transmittance,
     linear-in-tau sources, transport, and spectral reduction all inside the
     two layer scans -- no (ncol, nlay, ngpt) intermediates ever reach HBM.
     The up-sweep recomputes trans/source_up from tau (one extra exp) rather
     than storing them: on TPU the recompute is far cheaper than the HBM
-    round-trip. Canonical top-at-0; single angle."""
+    round-trip. Canonical top-at-0; single angle.
+
+    lay_major=True: tau/lay_source are (nlay, ncol, ngpt) and lev_source
+    (nlay+1, ncol, ngpt) -- already in scan layout, so no transposed
+    copies of the three large fields are materialized (the layout the
+    layer-major gas-optics path produces). Surface/TOA arrays and the
+    returned (ncol, nlay+1) broadband fluxes are unchanged."""
     dtype = tau.dtype
     two_pi_w = jnp.asarray(2.0 * np.pi * weight, dtype)
     tau_thresh = jnp.sqrt(jnp.finfo(dtype).eps)
-    Db = D[:, None, :] if D.ndim == 2 else D
 
-    tau_l = jnp.moveaxis(tau * Db, 1, 0)  # (nlay, ncol, ngpt) optical path
-    lay_l = jnp.moveaxis(lay_source, 1, 0)
-    lev_top_l = jnp.moveaxis(lev_source[:, :-1, :], 1, 0)
-    lev_bot_l = jnp.moveaxis(lev_source[:, 1:, :], 1, 0)
+    if lay_major:
+        Db = D[None, :, :] if D.ndim == 2 else D
+        tau_l = tau * Db
+        lay_l = lay_source
+        lev_top_l = lev_source[:-1]
+        lev_bot_l = lev_source[1:]
+    else:
+        Db = D[:, None, :] if D.ndim == 2 else D
+        tau_l = jnp.moveaxis(tau * Db, 1, 0)  # (nlay, ncol, ngpt) optical path
+        lay_l = jnp.moveaxis(lay_source, 1, 0)
+        lev_top_l = jnp.moveaxis(lev_source[:, :-1, :], 1, 0)
+        lev_bot_l = jnp.moveaxis(lev_source[:, 1:, :], 1, 0)
 
     def sources_of(tl, lay, lev_t, lev_b):
         trans = _exp(-tl)
@@ -508,6 +521,37 @@ def lw_solver_noscat(
         flux_up, flux_dn = _flip_lay(flux_up), _flip_lay(flux_dn)
         jac = None if jac is None else _flip_lay(jac)
     return LWSolution(flux_up, flux_dn, jac)
+
+
+def lw_solver_noscat_lay_major(
+    tau,
+    lay_source,
+    lev_source,
+    sfc_emis,
+    sfc_source,
+    inc_flux=None,
+    lw_ds=None,
+) -> LWSolution:
+    """Layer-major broadband no-scat solve (single angle, canonical
+    top-at-0): tau/lay_source (nlay, ncol, ngpt), lev_source
+    (nlay+1, ncol, ngpt), surface arrays (ncol, ngpt). Returns broadband
+    (ncol, nlay+1) fluxes.
+
+    The transpose-free fast path for layer-major gas optics: the scan
+    inputs are consumed as laid out, so no (nlay, ncol, ngpt) transposed
+    copies are materialized (vs lw_solver_noscat, whose column-major
+    inputs must be moveaxis'd into scan layout)."""
+    nlay, ncol, ngpt = tau.shape
+    dtype = tau.dtype
+    if inc_flux is None:
+        inc_flux = jnp.zeros((ncol, ngpt), dtype)
+    D = lw_ds.astype(dtype) if lw_ds is not None else jnp.full(
+        (ncol, ngpt), GAUSS_DS[0, 0], dtype
+    )
+    return _lw_noscat_broadband_fused(
+        tau, lay_source, lev_source, sfc_emis, sfc_source, inc_flux,
+        D, GAUSS_WTS[0, 0], lay_major=True,
+    )
 
 
 def lw_two_stream(tau, ssa, g):

@@ -50,6 +50,14 @@ def direct_beam(tau, mu0, inc_flux_dir):
     return jnp.concatenate([top, top * atten], axis=1)
 
 
+def direct_beam_lay_major(tau, mu0, inc_flux_dir):
+    """direct_beam for (nlay, ncol, ngpt) tau: returns (nlay+1, ncol, ngpt)."""
+    mu0_inv = (1.0 / mu0)[None, :, None]
+    atten = jnp.exp(-jnp.cumsum(tau * mu0_inv, axis=0))
+    top = inc_flux_dir[None, :, :]
+    return jnp.concatenate([top, top * atten], axis=0)
+
+
 def sw_solver_noscat(tau, mu0, inc_flux, top_at_1=True) -> jnp.ndarray:
     """Direct beam only (reference sw_solver_noscat, :496-532).
 
@@ -163,14 +171,19 @@ def _sw_two_stream_coeffs(tau_l, ssa_l, g_l, mu0b):
     return rdif, tdif, rdir, tdir, tnoscat
 
 
-def _sw_2stream_broadband_fused(tau, ssa, g, mu0, inc_flux_dir, sfc_alb_dir, sfc_alb_dif, inc_flux_dif):
+def _sw_2stream_broadband_fused(tau, ssa, g, mu0, inc_flux_dir, sfc_alb_dir,
+                                sfc_alb_dif, inc_flux_dif, lay_major=False):
     """Fused broadband SW two-stream + adding (canonical top-at-0).
 
     The two-stream coefficients and direct-beam sources are computed inside
     BOTH adding sweeps (recomputation is far cheaper on TPU than round-
     tripping rdif/tdif/source arrays through HBM); only the direct beam and
     the cumulative albedo/source stacks are materialized. Returns
-    (bb_up, bb_dn_total, bb_dir), each (ncol, nlay+1)."""
+    (bb_up, bb_dn_total, bb_dir), each (ncol, nlay+1).
+
+    lay_major=True: tau/ssa/g are (nlay, ncol, ngpt) -- the scan layout,
+    so no transposed copies are materialized; surface/TOA arrays and the
+    returned broadband fluxes keep their column-major shapes."""
     dtype = jnp.result_type(
         tau.dtype, ssa.dtype, g.dtype, inc_flux_dir.dtype,
         sfc_alb_dir.dtype, sfc_alb_dif.dtype, inc_flux_dif.dtype,
@@ -180,13 +193,23 @@ def _sw_2stream_broadband_fused(tau, ssa, g, mu0, inc_flux_dir, sfc_alb_dir, sfc
     sfc_alb_dir, sfc_alb_dif = sfc_alb_dir.astype(dtype), sfc_alb_dif.astype(dtype)
     inc_flux_dif = inc_flux_dif.astype(dtype)
     mu0 = mu0.astype(dtype)
-    mu0b = mu0[:, None, None]
-    flux_dn_dir = direct_beam(tau, mu0, inc_flux_dir)
 
-    tau_l = jnp.moveaxis(tau, 1, 0)
-    ssa_l = jnp.moveaxis(ssa, 1, 0)
-    g_l = jnp.moveaxis(g, 1, 0)
-    dir_top_l = jnp.moveaxis(flux_dn_dir[:, :-1, :], 1, 0)  # incident on layer top
+    if lay_major:
+        dir_levels = direct_beam_lay_major(tau, mu0, inc_flux_dir)
+        tau_l, ssa_l, g_l = tau, ssa, g
+        dir_top_l = dir_levels[:-1]
+        dir_next_l = dir_levels[1:]
+        dir_sfc = dir_levels[-1]
+        bb_dir = jnp.sum(dir_levels, -1).T  # (ncol, nlay+1)
+    else:
+        flux_dn_dir = direct_beam(tau, mu0, inc_flux_dir)
+        tau_l = jnp.moveaxis(tau, 1, 0)
+        ssa_l = jnp.moveaxis(ssa, 1, 0)
+        g_l = jnp.moveaxis(g, 1, 0)
+        dir_top_l = jnp.moveaxis(flux_dn_dir[:, :-1, :], 1, 0)  # incident on layer top
+        dir_next_l = jnp.moveaxis(flux_dn_dir[:, 1:, :], 1, 0)
+        dir_sfc = flux_dn_dir[:, -1, :]
+        bb_dir = jnp.sum(flux_dn_dir, -1)
 
     mu0c = mu0[:, None]
 
@@ -203,7 +226,7 @@ def _sw_2stream_broadband_fused(tau, ssa, g, mu0, inc_flux_dir, sfc_alb_dir, sfc
         return (alb, src), (alb, src)
 
     alb_sfc = sfc_alb_dif
-    src_sfc = flux_dn_dir[:, -1, :] * sfc_alb_dir
+    src_sfc = dir_sfc * sfc_alb_dir
     # reverse=True walks surface-to-top and stacks (albs, srcs) in layer
     # order directly -- no reversed copies of the four scan inputs in HBM
     (_, _), (albs, srcs) = jax.lax.scan(
@@ -227,12 +250,10 @@ def _sw_2stream_broadband_fused(tau, ssa, g, mu0, inc_flux_dir, sfc_alb_dir, sfc
             jnp.sum(fup_next, -1),
         )
 
-    dir_next_l = jnp.moveaxis(flux_dn_dir[:, 1:, :], 1, 0)
     _, (dn_sums, up_sums) = jax.lax.scan(
         down, inc_flux_dif,
         (tau_l, ssa_l, g_l, dir_top_l, alb_below_l, src_below_l, dir_next_l),
     )
-    bb_dir = jnp.sum(flux_dn_dir, -1)
     bb_dn0 = jnp.sum(inc_flux_dif, -1) + bb_dir[:, 0]
     bb_up0 = jnp.sum(inc_flux_dif * albs[0] + srcs[0], -1)
     bb_dn = jnp.concatenate([bb_dn0[:, None], jnp.moveaxis(dn_sums, 0, 1)], 1)
@@ -294,3 +315,23 @@ def sw_solver_2stream(
         flux_up, flux_dn = _flip_lay(flux_up), _flip_lay(flux_dn)
         flux_dn_dir = _flip_lay(flux_dn_dir)
     return SWSolution(flux_up, flux_dn, flux_dn_dir)
+
+
+def sw_solver_2stream_lay_major(
+    tau, ssa, g, mu0, inc_flux, sfc_alb_dir, sfc_alb_dif, inc_flux_dif=None,
+) -> SWSolution:
+    """Layer-major broadband SW two-stream + adding (canonical top-at-0):
+    tau/ssa/g (nlay, ncol, ngpt), surface/TOA arrays (ncol, ngpt). Returns
+    broadband (ncol, nlay+1) fluxes (up, dn_total, dn_dir).
+
+    The transpose-free fast path for layer-major gas optics: the adding
+    sweeps consume the inputs as laid out instead of materializing
+    moveaxis'd copies (see sw_solver_2stream broadband path)."""
+    nlay, ncol, ngpt = tau.shape
+    if inc_flux_dif is None:
+        inc_flux_dif = jnp.zeros((ncol, ngpt), tau.dtype)
+    bb_up, bb_dn, bb_dir = _sw_2stream_broadband_fused(
+        tau, ssa, g, mu0, inc_flux * mu0[:, None], sfc_alb_dir, sfc_alb_dif,
+        inc_flux_dif, lay_major=True,
+    )
+    return SWSolution(bb_up, bb_dn, bb_dir)

@@ -170,3 +170,63 @@ class TestSWEndToEnd:
         assert np.all(dnd <= dn + 1e-4)
         # upward at TOA below incident (energy conservation)
         assert np.all(up[day, toa_idx] <= expect[day])
+
+
+def test_lay_major_cores_match_col_major(rfmip, lw_models, sw_models):
+    """The layer-major fast paths must stay numerically identical to the
+    column-major cores (same physics, different array layout)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from rte_rrtmgp_nn_tpu.drivers.rfmip import (
+        _lw_core,
+        _lw_core_lay_major,
+        _sw_core,
+        _sw_core_lay_major,
+        default_solar_source,
+    )
+    from rte_rrtmgp_nn_tpu.gasoptics.planck import (
+        PlanckTable,
+        lw_spectral_g128,
+        sw_spectral_g112,
+    )
+
+    data = rfmip
+    dt = jnp.float32
+    n = 48
+    spec = lw_spectral_g128()
+    table = PlanckTable.compute(spec.band_lims_wvn_array, dtype=dt)
+    concs = {k: jnp.asarray(v[:n] if np.ndim(v) == 2 else v, dt)
+             for k, v in data.gas_concs.concs.items()}
+    lw_args = (
+        jnp.asarray(data.play[:n], dt), jnp.asarray(data.plev[:n], dt),
+        jnp.asarray(data.tlay[:n], dt), jnp.asarray(data.tlev[:n], dt),
+        jnp.asarray(data.tsfc[:n], dt),
+        jnp.broadcast_to(jnp.asarray(data.sfc_emis[:n], dt)[:, None], (n, spec.nband)),
+        concs,
+    )
+    ref = jax.jit(functools.partial(
+        _lw_core, lw_models, table, spec, top_at_1=data.top_at_1,
+        n_gauss_angles=1, scan_mode="sequential"))(*lw_args)
+    new = jax.jit(functools.partial(
+        _lw_core_lay_major, lw_models, table, spec, top_at_1=data.top_at_1))(*lw_args)
+    np.testing.assert_allclose(np.asarray(new.flux_up), np.asarray(ref.flux_up), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(new.flux_dn), np.asarray(ref.flux_dn), atol=1e-4)
+
+    swspec = sw_spectral_g112()
+    solar = jnp.asarray(default_solar_source(swspec), dt)
+    mu0 = jnp.asarray(np.cos(np.deg2rad(data.sza[:n])), dt)
+    sw_args = (
+        jnp.asarray(data.play[:n], dt), jnp.asarray(data.plev[:n], dt),
+        jnp.asarray(data.tlay[:n], dt), jnp.asarray(data.sfc_alb[:n], dt),
+        mu0, jnp.asarray(data.sza[:n] < 90.0), jnp.asarray(data.tsi[:n], dt), concs,
+    )
+    sref = jax.jit(functools.partial(
+        _sw_core, sw_models, swspec, solar, top_at_1=data.top_at_1,
+        scan_mode="sequential"))(*sw_args)
+    snew = jax.jit(functools.partial(
+        _sw_core_lay_major, sw_models, swspec, solar, top_at_1=data.top_at_1))(*sw_args)
+    np.testing.assert_allclose(np.asarray(snew.flux_up), np.asarray(sref.flux_up), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(snew.flux_dn), np.asarray(sref.flux_dn), atol=1e-3)
