@@ -45,6 +45,34 @@ def adding(albedo_sfc, rdif, tdif, src_dn, src_up, src_sfc, flux_dn_top, mode="s
     albedo_sfc, src_sfc = albedo_sfc.astype(dtype), src_sfc.astype(dtype)
     flux_dn_top = flux_dn_top.astype(dtype)
 
+    if broadband and mode == "sequential":
+        # below-level sweep: emits (albedo, src) at level l+1 per layer l
+        # directly (the quantities the downward sweep consumes), skipping
+        # the shifted-slice copies of two (ncol, nlay+1, ngpt) stacks.
+        alb_below, src_below, alb_top, src_top = _albedo_src_below_sequential(
+            albedo_sfc, rdif, tdif, src_dn, src_up, src_sfc
+        )
+        denom = 1.0 / (1.0 - rdif * alb_below)
+        a = tdif * denom
+        b = (rdif * src_below + src_dn) * denom
+
+        def step(fdn, xs):
+            t, s, albl, srcl = xs
+            fdn_next = t * fdn + s
+            fup_next = fdn_next * albl + srcl
+            return fdn_next, (jnp.sum(fdn_next, -1), jnp.sum(fup_next, -1))
+
+        _, (dn_sums, up_sums) = jax.lax.scan(
+            step, flux_dn_top,
+            (jnp.moveaxis(a, 1, 0), jnp.moveaxis(b, 1, 0),
+             jnp.moveaxis(alb_below, 1, 0), jnp.moveaxis(src_below, 1, 0)),
+        )
+        bb_dn0 = jnp.sum(flux_dn_top, -1)
+        bb_up0 = jnp.sum(flux_dn_top * alb_top + src_top, -1)
+        bb_dn = jnp.concatenate([bb_dn0[:, None], jnp.moveaxis(dn_sums, 0, 1)], axis=1)
+        bb_up = jnp.concatenate([bb_up0[:, None], jnp.moveaxis(up_sums, 0, 1)], axis=1)
+        return bb_up, bb_dn
+
     if mode == "parallel":
         albedo, src = _albedo_src_parallel(albedo_sfc, rdif, tdif, src_dn, src_up, src_sfc)
     else:
@@ -59,8 +87,6 @@ def adding(albedo_sfc, rdif, tdif, src_dn, src_up, src_sfc, flux_dn_top, mode="s
     b = (rdif * src[:, 1:, :] + src_dn) * denom
 
     if broadband:
-        import jax
-
         alb_l = jnp.moveaxis(albedo[:, 1:, :], 1, 0)
         src_l = jnp.moveaxis(src[:, 1:, :], 1, 0)
 
@@ -84,6 +110,35 @@ def adding(albedo_sfc, rdif, tdif, src_dn, src_up, src_sfc, flux_dn_top, mode="s
     # SH08 Eq 12 at every level.
     flux_up = flux_dn * albedo + src
     return flux_up, flux_dn
+
+
+def _albedo_src_below_sequential(albedo_sfc, rdif, tdif, src_dn, src_up, src_sfc):
+    """Surface-to-top sweep emitting the PRE-update carry: for layer l the
+    stacked outputs are (albedo, src) at level l+1 -- what the downward
+    flux sweep consumes -- plus the final (level-0) values. Avoids
+    re-slicing the full level stacks (two HBM round-trips)."""
+
+    def step(carry, x):
+        alb_below, src_below = carry
+        r, t, sd, su = x
+        denom = 1.0 / (1.0 - r * alb_below)  # Eq 10
+        alb = r + t * t * alb_below * denom  # Eq 9
+        src = su + t * denom * (src_below + alb_below * sd)  # Eq 11
+        return (alb, src), (alb_below, src_below)
+
+    xs = (
+        jnp.moveaxis(rdif, 1, 0),
+        jnp.moveaxis(tdif, 1, 0),
+        jnp.moveaxis(src_dn, 1, 0),
+        jnp.moveaxis(src_up, 1, 0),
+    )
+    (alb_top, src_top), (albs_b, srcs_b) = jax.lax.scan(
+        step, (albedo_sfc, src_sfc), xs, reverse=True
+    )
+    return (
+        jnp.moveaxis(albs_b, 0, 1), jnp.moveaxis(srcs_b, 0, 1),
+        alb_top, src_top,
+    )
 
 
 def _albedo_src_sequential(albedo_sfc, rdif, tdif, src_dn, src_up, src_sfc):

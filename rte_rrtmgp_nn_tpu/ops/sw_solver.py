@@ -214,6 +214,11 @@ def _sw_2stream_broadband_fused(tau, ssa, g, mu0, inc_flux_dir, sfc_alb_dir,
     mu0c = mu0[:, None]
 
     # ---- surface-to-top sweep: cumulative albedo and upwelling source ----
+    # Emits the PRE-update carry: when processing layer l (bottom-up) the
+    # incoming carry is (albedo, source) at level l+1 -- exactly what the
+    # downward sweep needs as alb_below/src_below. Stacking that instead
+    # of the post-update value avoids re-assembling shifted copies of two
+    # (nlay, ncol, ngpt) arrays afterwards (a pair of HBM round-trips).
     def up(carry, xs):
         alb_below, src_below = carry
         tl, wl, gl, dinc = xs
@@ -223,19 +228,17 @@ def _sw_2stream_broadband_fused(tau, ssa, g, mu0, inc_flux_dir, sfc_alb_dir,
         d = 1.0 / (1.0 - rdif * alb_below)
         alb = rdif + tdif * tdif * alb_below * d
         src = src_up + tdif * d * (src_below + alb_below * src_dn)
-        return (alb, src), (alb, src)
+        return (alb, src), (alb_below, src_below)
 
     alb_sfc = sfc_alb_dif
     src_sfc = dir_sfc * sfc_alb_dir
-    # reverse=True walks surface-to-top and stacks (albs, srcs) in layer
-    # order directly -- no reversed copies of the four scan inputs in HBM
-    (_, _), (albs, srcs) = jax.lax.scan(
+    # reverse=True walks surface-to-top and stacks outputs in layer order
+    # directly -- no reversed copies of the four scan inputs in HBM
+    (alb_top, src_top), (alb_below_l, src_below_l) = jax.lax.scan(
         up, (alb_sfc, src_sfc),
         (tau_l, ssa_l, g_l, dir_top_l),
         reverse=True,
     )
-    alb_below_l = jnp.concatenate([albs[1:], alb_sfc[None]], 0)  # level l+1
-    src_below_l = jnp.concatenate([srcs[1:], src_sfc[None]], 0)
 
     # ---- top-to-surface flux sweep with in-scan broadband reduction ------
     def down(fdn, xs):
@@ -255,7 +258,7 @@ def _sw_2stream_broadband_fused(tau, ssa, g, mu0, inc_flux_dir, sfc_alb_dir,
         (tau_l, ssa_l, g_l, dir_top_l, alb_below_l, src_below_l, dir_next_l),
     )
     bb_dn0 = jnp.sum(inc_flux_dif, -1) + bb_dir[:, 0]
-    bb_up0 = jnp.sum(inc_flux_dif * albs[0] + srcs[0], -1)
+    bb_up0 = jnp.sum(inc_flux_dif * alb_top + src_top, -1)
     bb_dn = jnp.concatenate([bb_dn0[:, None], jnp.moveaxis(dn_sums, 0, 1)], 1)
     bb_up = jnp.concatenate([bb_up0[:, None], jnp.moveaxis(up_sums, 0, 1)], 1)
     return bb_up, bb_dn, bb_dir
