@@ -85,6 +85,7 @@ def _lw_core_lay_major(
     spectral: SpectralMapping,
     play, plev, tlay, tlev, tsfc, sfc_emis_band, concs_dict,
     top_at_1: bool,
+    split_lev: bool = False,
 ):
     """Layer-major LW core: the transpose-free fast path.
 
@@ -130,7 +131,7 @@ def _lw_core_lay_major(
     tau, pfrac = predict_nn_lw(models, x, col_dry_t)
     lay_src, lev_src, sfc_src, _ = compute_planck_source_nn(
         pfrac, tlay.T, tlev.T, tsfc, spectral, planck_table,
-        top_at_1=True, lay_axis=0,
+        top_at_1=True, lay_axis=0, split_lev=split_lev,
     )
     emis = spectral.expand(sfc_emis_band)
     sol = lw_solver_noscat_lay_major(tau, lay_src, lev_src, emis, sfc_src)

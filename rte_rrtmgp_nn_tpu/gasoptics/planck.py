@@ -216,6 +216,7 @@ def compute_planck_source_nn(
     top_at_1: bool = True,
     delta_tsfc: float = 1.0,
     lay_axis: int = 1,
+    split_lev: bool = False,
 ):
     """Planck sources from an NN-predicted Planck fraction.
 
@@ -248,6 +249,19 @@ def compute_planck_source_nn(
     lay_source = pfrac * planck_lay
     # pfrac at levels: level l <- pfrac of layer min(l, nlay-1) (reference
     # assigns lev 1..nlay from layer 1..nlay and lev nlay+1 from layer nlay).
+    if lay_axis == 0 and split_lev:
+        # produce the two per-layer level-source views the solver scans
+        # consume directly (lev at layer top / layer bottom), instead of
+        # the (nlay+1) stack it would immediately re-slice: one fewer
+        # ~50 MB materialization + two fewer slice copies. Canonical
+        # top-at-0 only.
+        lev_top = pfrac * planck_lev[:-1]
+        pfrac_below = jnp.concatenate([pfrac[1:], pfrac[-1:]], axis=0)
+        lev_bot = pfrac_below * planck_lev[1:]
+        pfrac_sfc = pfrac[sfc_lay]
+        sfc_source = pfrac_sfc * planck_sfc
+        sfc_source_jac = pfrac_sfc * (planck_sfc_jac - planck_sfc)
+        return lay_source, (lev_top, lev_bot), sfc_source, sfc_source_jac
     if lay_axis == 0:
         pfrac_lev = jnp.concatenate([pfrac, pfrac[-1:]], axis=0)
         if not top_at_1:

@@ -169,8 +169,11 @@ def _lw_noscat_broadband_fused(
         Db = D[None, :, :] if D.ndim == 2 else D
         tau_l = tau * Db
         lay_l = lay_source
-        lev_top_l = lev_source[:-1]
-        lev_bot_l = lev_source[1:]
+        if isinstance(lev_source, tuple):
+            lev_top_l, lev_bot_l = lev_source  # pre-split per-layer views
+        else:
+            lev_top_l = lev_source[:-1]
+            lev_bot_l = lev_source[1:]
     else:
         Db = D[:, None, :] if D.ndim == 2 else D
         tau_l = jnp.moveaxis(tau * Db, 1, 0)  # (nlay, ncol, ngpt) optical path
