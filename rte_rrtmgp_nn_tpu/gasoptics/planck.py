@@ -190,15 +190,24 @@ class PlanckTable:
     def interpolate(self, t: jnp.ndarray) -> jnp.ndarray:
         """Linear interpolation of the table at temperatures t (...,) ->
         (..., nband). Matches the reference interpolate1D exactly
-        (mo_gas_optics_kernels.F90:1024-1044): index clamped, fraction NOT
-        clamped (linear extrapolation outside the table)."""
+        (mo_gas_optics_kernels.F90:1024-1044): index clamped, fraction =
+        val - int(val) unclamped -- outside the table this evaluates the
+        edge interval at the wrapped fraction (effectively saturating),
+        NOT true linear extrapolation; faithful to the reference."""
         ntab = self.totplnk.shape[0]
+        nband = self.totplnk.shape[1]
         val0 = (t - self.temp_ref_min) / self.totplnk_delta
         idx0 = jnp.clip(val0.astype(jnp.int32), 0, ntab - 2)
         frac = val0 - val0.astype(jnp.int32).astype(val0.dtype)
-        lo = jnp.take(self.totplnk, idx0, axis=0)
-        hi = jnp.take(self.totplnk, idx0 + 1, axis=0)
-        return lo + frac[..., None] * (hi - lo)
+        # one gather of the paired (value, forward-difference) table
+        # instead of two row gathers -- TPU gathers are the cost here, and
+        # the pairing is constant-folded at compile time (the table is a
+        # jaxpr constant in every driver)
+        pair = jnp.concatenate(
+            [self.totplnk[:-1], self.totplnk[1:] - self.totplnk[:-1]], axis=1
+        )
+        g = jnp.take(pair, idx0, axis=0)
+        return g[..., :nband] + frac[..., None] * g[..., nband:]
 
 
 jax.tree_util.register_dataclass(
@@ -241,6 +250,9 @@ def compute_planck_source_nn(
     def expand(bnd_vals):
         return spectral.expand(bnd_vals)
 
+    # (merging the tlay/tlev interpolations into one concatenated gather +
+    # expand was measured SLOWER -- the concat/slice copies outweigh the
+    # saved kernel launches; keep them separate)
     planck_lay = expand(table.interpolate(tlay))
     planck_lev = expand(table.interpolate(tlev))
     planck_sfc = expand(table.interpolate(tsfc))  # (ncol, ngpt)
