@@ -230,3 +230,28 @@ def test_lay_major_cores_match_col_major(rfmip, lw_models, sw_models):
         _sw_core_lay_major, sw_models, swspec, solar, top_at_1=data.top_at_1))(*sw_args)
     np.testing.assert_allclose(np.asarray(snew.flux_up), np.asarray(sref.flux_up), atol=1e-3)
     np.testing.assert_allclose(np.asarray(snew.flux_dn), np.asarray(sref.flux_dn), atol=1e-3)
+
+
+def test_lw_g256_unreduced_models(rfmip):
+    """The unreduced g-256 LW two-net family (absorption + planck_frac,
+    canonical 16-point weights per band) runs end-to-end and lands at the
+    reference flux level (full-RFMIP mean dn 103.06 when run full-size;
+    here a subset with a wider gate)."""
+    from rte_rrtmgp_nn_tpu.drivers.rfmip import rfmip_clear_sky_lw
+    from rte_rrtmgp_nn_tpu.gasoptics.planck import lw_spectral_g256
+
+    ps = [
+        os.path.join(DATA, "lw-g256-2018-12-04_absorption_BEST.nc"),
+        os.path.join(DATA, "lw-g256-2018-12-04_planck_frac_BEST.nc"),
+    ]
+    if not all(os.path.exists(p) for p in ps):
+        pytest.skip("g256 models not available")
+    models = [load_model_netcdf(p) for p in ps]
+    assert models[0].n_outputs == 256 and models[1].n_outputs == 256
+
+    small = rfmip.block(0, 90)
+    fb = rfmip_clear_sky_lw(small, models, spectral=lw_spectral_g256())
+    dn = float(np.mean(np.asarray(fb.flux_dn)))
+    up = float(np.mean(np.asarray(fb.flux_up)))
+    assert np.isfinite(np.asarray(fb.flux_dn)).all()
+    assert 80.0 < dn < 130.0 and 250.0 < up < 350.0
