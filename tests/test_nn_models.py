@@ -64,3 +64,43 @@ class TestSaveRoundtrip:
         np.testing.assert_allclose(
             np.asarray(m.apply_raw(x)), np.asarray(m2.apply_raw(x)), rtol=1e-6
         )
+
+
+def test_nn_scenario_index_missing_gas(rng):
+    """config.nn_scenario_index controls the VMR used for gases absent from
+    the gas description (reference mo_rte_rrtmgp_config.F90:40 +
+    mo_gas_ref_concentrations.F90): 0 = zero, 1/2/3 = present-day /
+    pre-industrial / future reference values; the NN inputs must differ
+    accordingly."""
+    import numpy as np
+
+    from rte_rrtmgp_nn_tpu import config as _c
+    from rte_rrtmgp_nn_tpu.config import config_override
+    from rte_rrtmgp_nn_tpu.gas_concs import GasConcs, get_ref_vmr
+    from rte_rrtmgp_nn_tpu.gasoptics.nn_gas_optics import compute_nn_inputs
+    from rte_rrtmgp_nn_tpu.models.network import load_model_netcdf
+
+    m = load_model_netcdf(
+        "/root/reference/neural/data/lw-g128-210809_both_BEST.nc"
+    )
+    ncol, nlay = 4, 6
+    play = jnp.asarray(rng.uniform(1e3, 1e5, (ncol, nlay)), jnp.float32)
+    tlay = jnp.asarray(rng.uniform(200.0, 300.0, (ncol, nlay)), jnp.float32)
+    # only the two required gases; everything else missing
+    gd = GasConcs({
+        "h2o": jnp.full((ncol, nlay), 3e-3, jnp.float32),
+        "o3": jnp.full((ncol, nlay), 5e-8, jnp.float32),
+    })
+    feats = {}
+    for scen in (0, 1, 2, 3):
+        with config_override(nn_scenario_index=scen):
+            feats[scen] = np.asarray(compute_nn_inputs(play, tlay, gd, m))
+    i_co2 = m.input_names.index("co2")
+    # scenario 0: missing co2 scaled from zero; others from the table
+    lo, hi = float(m.input_min[i_co2]), float(m.input_max[i_co2])
+    assert np.allclose(feats[0][..., i_co2], (0.0 - lo) / (hi - lo), atol=1e-6)
+    for scen in (1, 2, 3):
+        expect = (get_ref_vmr(scen, "co2") - lo) / (hi - lo)
+        assert np.allclose(feats[scen][..., i_co2], expect, atol=1e-6), scen
+    # the three scenarios are genuinely distinct
+    assert len({round(float(feats[s][0, 0, i_co2]), 9) for s in (1, 2, 3)}) == 3
