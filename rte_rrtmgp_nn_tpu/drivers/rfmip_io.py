@@ -121,13 +121,23 @@ def _units_scale(f: ncio.NCFile, var: str) -> float:
         return 1.0
 
 
-def read_rfmip(path: str, gases: list[str] | None = None, dtype=np.float32) -> RFMIPData:
+def read_rfmip(path: str, gases: list[str] | None = None, dtype=np.float32,
+               forcing_index: int | None = None) -> RFMIPData:
     """Read the RFMIP file, flattening (exp, site) -> columns.
 
     gases: kdist-style names to load (default: the NN LW gas set). Gases
     not present in the file are skipped (the NN input packing substitutes
     zero / scenario values for them).
+
+    forcing_index: 2/3/4 select the reference's reduced gas sets
+    (determine_gas_names, mo_rfmip_io.F90:317-416) instead of an explicit
+    list; 1 (all k-distribution gases) keeps the default full set here.
     """
+    if forcing_index is not None:
+        if forcing_index not in GAS_SETS:
+            raise ValueError(f"forcing_index must be in {sorted(GAS_SETS)}")
+        if GAS_SETS[forcing_index] is not None:
+            gases = GAS_SETS[forcing_index][0]
     gases = gases if gases is not None else NN_LW_GASES
     with ncio.NCFile(path) as f:
         nexp = f.read("temp_layer").shape[0]
