@@ -91,26 +91,25 @@ def main() -> None:
     jax.block_until_ready(lw_fn(*lw_args))
     jax.block_until_ready(sw_fn(*sw_args))
 
-    # timed steady-state
+    # timed steady-state: best of 3 repetitions (the tunnel to the chip
+    # has erratic slow phases; min is the honest device-throughput number)
     n_iter = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        lw = lw_fn(*lw_args)
-        sw = sw_fn(*sw_args)
-    jax.block_until_ready((lw, sw))
-    elapsed = (time.perf_counter() - t0) / n_iter
 
-    # per-path sub-timings
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        lw = lw_fn(*lw_args)
-    jax.block_until_ready(lw)
-    lw_elapsed = (time.perf_counter() - t0) / n_iter
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        sw = sw_fn(*sw_args)
-    jax.block_until_ready(sw)
-    sw_elapsed = (time.perf_counter() - t0) / n_iter
+    def timed(fns_args):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                for fn, a in fns_args:
+                    out = fn(*a)
+            jax.block_until_ready(out)
+            best = min(best, (time.perf_counter() - t0) / n_iter)
+        return best
+
+    elapsed = timed([(lw_fn, lw_args), (sw_fn, sw_args)])
+    lw_elapsed = timed([(lw_fn, lw_args)])
+    sw_elapsed = timed([(sw_fn, sw_args)])
+    lw = lw_fn(*lw_args)
 
     cols_per_s = ncol / elapsed
     result = {
