@@ -86,6 +86,7 @@ def _lw_core_lay_major(
     play, plev, tlay, tlev, tsfc, sfc_emis_band, concs_dict,
     top_at_1: bool,
     split_lev: bool = False,
+    solver_variant: str = "presrc",
 ):
     """Layer-major LW core: the transpose-free fast path.
 
@@ -134,7 +135,117 @@ def _lw_core_lay_major(
         top_at_1=True, lay_axis=0, split_lev=split_lev,
     )
     emis = spectral.expand(sfc_emis_band)
-    sol = lw_solver_noscat_lay_major(tau, lay_src, lev_src, emis, sfc_src)
+    sol = lw_solver_noscat_lay_major(
+        tau, lay_src, lev_src, emis, sfc_src, variant=solver_variant
+    )
+    up, dn = sol.flux_up, sol.flux_dn
+    if not top_at_1:
+        up, dn = up[:, ::-1], dn[:, ::-1]
+    return FluxesBroadband(flux_up=up, flux_dn=dn, flux_net=dn - up)
+
+
+def _lw_core_mega(
+    models: Sequence[NNModel],
+    planck_table: PlanckTable,
+    spectral: SpectralMapping,
+    play, plev, tlay, tlev, tsfc, sfc_emis_band, concs_dict,
+    top_at_1: bool,
+    tile_c: int = 64,
+):
+    """Fused-megakernel LW core: the whole NN+sources+transport pipeline in
+    one Pallas kernel (ops/pallas/lw_megakernel.py), with only the cheap 2-D
+    prep (feature pack, band-Planck interpolation) staged in XLA, all
+    layer-major to feed the kernel's (nlay, tile, lanes) blocks directly.
+
+    Keeps tau/pfrac/sources in VMEM per column tile -- HBM traffic drops
+    from ~1.5 GB to ~30 MB per 1800-column call. Single Gauss angle,
+    broadband output; numerics match _lw_core to f32 accumulation order.
+    Requires a single combined "lw_both" model.
+    """
+    from ..gasoptics.nn_gas_optics import compute_nn_inputs, get_col_dry
+    from ..ops.pallas.lw_megakernel import lw_clearsky_megakernel
+
+    gas_desc = GasConcs(concs_dict)
+    ncol, nlay = play.shape
+
+    if not top_at_1:
+        play, tlay = play[:, ::-1], tlay[:, ::-1]
+        plev, tlev = plev[:, ::-1], tlev[:, ::-1]
+        gas_desc = GasConcs({
+            name: gas_desc.get_vmr(name, ncol, nlay)[:, ::-1]
+            for name in gas_desc.concs
+        })
+
+    col_dry = get_col_dry(gas_desc.get_vmr("h2o", ncol, nlay), plev).T
+    gd_t = GasConcs({
+        name: gas_desc.get_vmr(name, ncol, nlay).T
+        for name in gas_desc.concs
+    })
+    x = compute_nn_inputs(play.T, tlay.T, gd_t, models[0])  # (nlay, ncol, nf)
+    pl_lay = planck_table.interpolate(tlay.T)     # (nlay, ncol, nband)
+    pl_lev = planck_table.interpolate(tlev.T)     # (nlay+1, ncol, nband)
+    pl_sfc = planck_table.interpolate(tsfc)       # (ncol, nband)
+    one_hot = jnp.asarray(
+        (spectral.gpt2band[None, :] == np.arange(spectral.nband)[:, None]),
+        x.dtype,
+    )
+    emis = spectral.expand(sfc_emis_band)
+    up, dn = lw_clearsky_megakernel(
+        models[0], x, col_dry, pl_lay, pl_lev, pl_sfc, one_hot, emis,
+        tile_c=tile_c,
+    )
+    if not top_at_1:
+        up, dn = up[:, ::-1], dn[:, ::-1]
+    return FluxesBroadband(flux_up=up, flux_dn=dn, flux_net=dn - up)
+
+
+def _lw_core_prep(
+    models: Sequence[NNModel],
+    planck_table: PlanckTable,
+    spectral: SpectralMapping,
+    play, plev, tlay, tlev, tsfc, sfc_emis_band, concs_dict,
+    top_at_1: bool,
+    tile_c: int = 32,
+):
+    """Pallas-prep LW core: one loop-free fused kernel produces exactly the
+    three layer-major fields (trans, src_dn, src_up) the broadband sweeps
+    consume, plus the surface source (ops/pallas/lw_megakernel.lw_prep_pallas)
+    -- tau, pfrac, and the g-point Planck sources never reach HBM. The
+    sequential sweeps stay as full-width XLA scans (lw_broadband_sweeps)."""
+    from ..gasoptics.nn_gas_optics import compute_nn_inputs, get_col_dry
+    from ..ops.lw_solver import lw_broadband_sweeps
+    from ..ops.pallas.lw_megakernel import lw_prep_pallas
+
+    gas_desc = GasConcs(concs_dict)
+    ncol, nlay = play.shape
+
+    if not top_at_1:
+        play, tlay = play[:, ::-1], tlay[:, ::-1]
+        plev, tlev = plev[:, ::-1], tlev[:, ::-1]
+        gas_desc = GasConcs({
+            name: gas_desc.get_vmr(name, ncol, nlay)[:, ::-1]
+            for name in gas_desc.concs
+        })
+
+    col_dry = get_col_dry(gas_desc.get_vmr("h2o", ncol, nlay), plev).T
+    gd_t = GasConcs({
+        name: gas_desc.get_vmr(name, ncol, nlay).T
+        for name in gas_desc.concs
+    })
+    x = compute_nn_inputs(play.T, tlay.T, gd_t, models[0])  # (nlay, ncol, nf)
+    one_hot = jnp.asarray(
+        (spectral.gpt2band[None, :] == np.arange(spectral.nband)[:, None]),
+        x.dtype,
+    )
+    trans, src_dn, src_up, sfc_src = lw_prep_pallas(
+        models[0], x, col_dry,
+        planck_table.interpolate(tlay.T),
+        planck_table.interpolate(tlev.T),
+        planck_table.interpolate(tsfc),
+        one_hot, tile_c=tile_c,
+    )
+    emis = spectral.expand(sfc_emis_band)
+    sol = lw_broadband_sweeps(trans, src_dn, src_up, emis, sfc_src)
     up, dn = sol.flux_up, sol.flux_dn
     if not top_at_1:
         up, dn = up[:, ::-1], dn[:, ::-1]

@@ -234,11 +234,22 @@ def compute_planck_source_nn(
     sfc_source_jac) in the radiance-like units of the reference
     (compute_Planck_source_nn, mo_gas_optics_kernels.F90:615-683).
 
-    lev_source at interior level l uses the pfrac of the layer above it in
-    the downwelling sense; following the reference, level l takes pfrac of
-    layer l (0-based: level l takes pfrac[min(l, nlay-1)]), i.e. levels
-    0..nlay-1 use their adjacent layer and the bottom level reuses the last
-    layer's fraction.
+    lev_source at level l takes pfrac of layer l (0-based: level l takes
+    pfrac[min(l, nlay-1)]) in the canonical top-at-0 orientation: levels
+    0..nlay-1 use their adjacent layer and the last level reuses the last
+    layer's fraction (reference compute_Planck_source :567-601; validated
+    against a 1-based transcription in tests/test_lut_fortran_parity.py).
+
+    DELIBERATE deviation for top_at_1=False: the reference applies the
+    index-l pairing regardless of orientation AND its solver always builds
+    the down-source from lev_source(ilay+1) (lw_source_noscat :770-775 has
+    no orientation branch), so for flipped inputs the reference pairs the
+    down-emission with the physically UPPER layer edge -- an artifact of
+    this fork's single-lev_source refactor (upstream RRTMGP's symmetric
+    lev_source_inc/dec avoid it). This framework instead mirrors the
+    pairing so that flipped inputs reproduce exactly the flipped canonical
+    solution (the vertical-reverse invariant of tests/
+    test_verification_invariants.py holds by construction).
 
     lay_axis=0 selects the layer-major layout: pfrac (nlay, ncol, ngpt),
     tlay (nlay, ncol), tlev (nlay+1, ncol), tsfc still (ncol,) -- the
@@ -277,12 +288,12 @@ def compute_planck_source_nn(
     if lay_axis == 0:
         pfrac_lev = jnp.concatenate([pfrac, pfrac[-1:]], axis=0)
         if not top_at_1:
+            # mirrored orientation: level l <- layer max(l-1, 0)
             pfrac_lev = jnp.concatenate([pfrac[:1], pfrac], axis=0)
         pfrac_sfc = pfrac[sfc_lay]
     else:
         pfrac_lev = jnp.concatenate([pfrac, pfrac[:, -1:, :]], axis=1)
         if not top_at_1:
-            # mirrored orientation: level l <- layer max(l-1, 0)
             pfrac_lev = jnp.concatenate([pfrac[:, :1, :], pfrac], axis=1)
         pfrac_sfc = pfrac[:, sfc_lay, :]
     lev_source = pfrac_lev * planck_lev

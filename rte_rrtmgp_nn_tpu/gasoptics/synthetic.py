@@ -49,8 +49,15 @@ def generate_kdist_nc(
     gpts_per_band: int = 4,
     nband: int | None = None,
     seed: int = 0,
+    pfrac_uniform: bool = False,
 ) -> None:
-    """Write a synthetic k-distribution file (netCDF-3 classic)."""
+    """Write a synthetic k-distribution file (netCDF-3 classic).
+
+    pfrac_uniform=True writes a (T, p, eta)-independent Planck fraction
+    (1/gpts_per_band): use for oracle tests whose closed-form answer needs
+    vertically homogeneous pfrac (e.g. isothermal blackbody). The default
+    varies pfrac smoothly in all table axes (band-normalized) so parity
+    tests can see the 3-D interpolation weights and level/layer pairing."""
     rng = np.random.default_rng(seed)
     band_lims_all = LW_BAND_LIMS_WVN if kind == "lw" else SW_BAND_LIMS_WVN
     nband = nband or len(band_lims_all)
@@ -175,8 +182,23 @@ def generate_kdist_nc(
     if kind == "lw":
         t_planck = np.linspace(TEMP_REF[0], TEMP_REF[-1], nT_planck)
         totplnk = planck_band_radiance(t_planck, band_lims)  # (nT, nband)
-        # uniform Planck fraction within band (valid: sums to 1)
-        pfrac = np.full((ntemp, npres + 1, neta, ngpt), 1.0 / gpts_per_band)
+        # Planck fraction varying smoothly in (T, p, eta, g) but exactly
+        # normalized within each band (so physics tests keep sum = 1 while
+        # parity tests can see the 3-D interpolation weights and the
+        # level<->layer pfrac pairing)
+        if pfrac_uniform:
+            pfrac = np.full((ntemp, npres + 1, neta, ngpt), 1.0 / gpts_per_band)
+        else:
+            it = np.arange(ntemp)[:, None, None, None]
+            ip = np.arange(npres + 1)[None, :, None, None]
+            ie = np.arange(neta)[None, None, :, None]
+            ig = np.arange(ngpt)[None, None, None, :]
+            pfrac = 1.0 + 0.5 * np.sin(
+                0.7 * ig + 0.31 * it + 0.17 * ip + 0.43 * ie
+            )
+            pfrac = pfrac.reshape(ntemp, npres + 1, neta, nband, gpts_per_band)
+            pfrac = pfrac / pfrac.sum(axis=-1, keepdims=True)
+            pfrac = pfrac.reshape(ntemp, npres + 1, neta, ngpt)
         variables["totplnk"] = (("bnd", "temperature_Planck"), totplnk.T)
         variables["plank_fraction"] = (("temperature", "pressure_plus1", "mixing_fraction", "gpt"), pfrac)
         variables["optimal_angle_fit"] = (

@@ -351,6 +351,111 @@ def lw_noscat_broadband_from_pfrac(
     return out
 
 
+def _lw_noscat_broadband_presrc(
+    tau, lay_source, lev_source, sfc_emis, sfc_source, inc_flux, D, weight,
+    sfc_source_jac=None,
+):
+    """Broadband no-scat solve with PRECOMPUTED per-sweep fields: trans,
+    src_dn, src_up are produced in one fused elementwise pass over the
+    (nlay, ncol, ngpt) batch, so each scan consumes only TWO xs arrays
+    (trans + its source) instead of four (tau, lay, lev_top, lev_bot).
+
+    Rationale (docs/PERFORMANCE.md roofline): the scans are HBM-bound on
+    their xs streams; 4 xs -> 2 xs halves the dominant traffic term, and
+    the one-time write of the three precomputed fields is cheaper than
+    re-streaming lay/lev sources through both sweeps. The recompute-in-sweep
+    variant (_lw_noscat_broadband_fused) re-reads 4 fields per sweep =
+    8 x 55 MB at RFMIP scale; this path writes 3 + reads 2+2 = 7, with the
+    exp/fact arithmetic done once instead of twice.
+
+    Layer-major only (tau/lay_source (nlay, ncol, ngpt), lev_source
+    (nlay+1, ncol, ngpt) or a pre-split (lev_top, lev_bot) tuple).
+    Canonical top-at-0, single angle."""
+    dtype = tau.dtype
+    two_pi_w = jnp.asarray(2.0 * np.pi * weight, dtype)
+    tau_thresh = jnp.sqrt(jnp.finfo(dtype).eps)
+
+    Db = D[None, :, :] if D.ndim == 2 else D
+    tl = tau * Db
+    if isinstance(lev_source, tuple):
+        lev_top, lev_bot = lev_source
+    else:
+        lev_top = lev_source[:-1]
+        lev_bot = lev_source[1:]
+
+    trans = _exp(-tl)
+    tl_safe = jnp.where(tl > tau_thresh, tl, 1.0)
+    fact = jnp.where(
+        tl > tau_thresh,
+        (1.0 - trans) / tl_safe - trans,
+        tl * (0.5 - (1.0 / 3.0) * tl),
+    )
+    one_m_t = 1.0 - trans
+    two_fact = 2.0 * fact
+    src_dn = one_m_t * lev_bot + two_fact * (lay_source - lev_bot)
+    src_up = one_m_t * lev_top + two_fact * (lay_source - lev_top)
+    return lw_broadband_sweeps(
+        trans, src_dn, src_up, sfc_emis, sfc_source, inc_flux, weight,
+        sfc_source_jac,
+    )
+
+
+def lw_broadband_sweeps(
+    trans, src_dn, src_up, sfc_emis, sfc_source, inc_flux=None,
+    weight=GAUSS_WTS[0, 0], sfc_source_jac=None,
+):
+    """The two broadband layer sweeps from PRECOMPUTED layer-major
+    transmittance and sources: down then (after surface reflection +
+    emission) up, each a minimal 2-xs affine lax.scan with in-scan spectral
+    reduction. trans/src_dn/src_up: (nlay, ncol, ngpt); surface arrays
+    (ncol, ngpt). Canonical top-at-0; returns broadband (ncol, nlay+1)
+    LWSolution (reference transport loops mo_rte_solver_kernels.F90:264-330).
+    """
+    dtype = trans.dtype
+    two_pi_w = jnp.asarray(2.0 * np.pi * weight, dtype)
+    if inc_flux is None:
+        inc_flux = jnp.zeros(trans.shape[1:], dtype)
+
+    def down(rad, ts):
+        t, s = ts
+        rad_next = t * rad + s
+        return rad_next, jnp.sum(rad_next, -1)
+
+    rad_top = inc_flux / two_pi_w
+    rad_sfc_dn, dn_sums = jax.lax.scan(down, rad_top, (trans, src_dn))
+    bb_dn = jnp.concatenate(
+        [jnp.sum(rad_top, -1)[:, None], jnp.moveaxis(dn_sums, 0, 1)], 1
+    )
+
+    rad_sfc = rad_sfc_dn * (1.0 - sfc_emis) + sfc_emis * sfc_source
+
+    if sfc_source_jac is not None:
+
+        def up_jac(carry, ts):
+            rad, jac = carry
+            t, s = ts
+            rad_next = t * rad + s
+            jac_next = t * jac
+            return (rad_next, jac_next), (
+                jnp.sum(rad_next, -1), jnp.sum(jac_next, -1)
+            )
+
+        jac_sfc = sfc_emis * sfc_source_jac
+        (_, _), (up_sums, jac_sums) = jax.lax.scan(
+            up_jac, (rad_sfc, jac_sfc), (trans, src_up), reverse=True
+        )
+        flux_up_jac = jnp.concatenate(
+            [jnp.moveaxis(jac_sums, 0, 1), jnp.sum(jac_sfc, -1)[:, None]], 1
+        ) * two_pi_w
+    else:
+        _, up_sums = jax.lax.scan(down, rad_sfc, (trans, src_up), reverse=True)
+        flux_up_jac = None
+    bb_up = jnp.concatenate(
+        [jnp.moveaxis(up_sums, 0, 1), jnp.sum(rad_sfc, -1)[:, None]], 1
+    )
+    return LWSolution(bb_up * two_pi_w, bb_dn * two_pi_w, flux_up_jac)
+
+
 def _lw_solver_noscat_1angle(
     tau,
     lay_source,
@@ -534,6 +639,8 @@ def lw_solver_noscat_lay_major(
     sfc_source,
     inc_flux=None,
     lw_ds=None,
+    sfc_source_jac=None,
+    variant: str = "presrc",
 ) -> LWSolution:
     """Layer-major broadband no-scat solve (single angle, canonical
     top-at-0): tau/lay_source (nlay, ncol, ngpt), lev_source
@@ -543,7 +650,12 @@ def lw_solver_noscat_lay_major(
     The transpose-free fast path for layer-major gas optics: the scan
     inputs are consumed as laid out, so no (nlay, ncol, ngpt) transposed
     copies are materialized (vs lw_solver_noscat, whose column-major
-    inputs must be moveaxis'd into scan layout)."""
+    inputs must be moveaxis'd into scan layout).
+
+    variant="presrc" (default) precomputes trans/src_dn/src_up in one
+    fused pass so each scan streams 2 fields instead of 4 (measured
+    LW core 3.65 -> 2.6 ms per 1800 RFMIP cols on v5e);
+    "fused" recomputes trans+sources inside both sweeps."""
     nlay, ncol, ngpt = tau.shape
     dtype = tau.dtype
     if inc_flux is None:
@@ -551,9 +663,14 @@ def lw_solver_noscat_lay_major(
     D = lw_ds.astype(dtype) if lw_ds is not None else jnp.full(
         (ncol, ngpt), GAUSS_DS[0, 0], dtype
     )
+    if variant == "presrc":
+        return _lw_noscat_broadband_presrc(
+            tau, lay_source, lev_source, sfc_emis, sfc_source, inc_flux,
+            D, GAUSS_WTS[0, 0], sfc_source_jac,
+        )
     return _lw_noscat_broadband_fused(
         tau, lay_source, lev_source, sfc_emis, sfc_source, inc_flux,
-        D, GAUSS_WTS[0, 0], lay_major=True,
+        D, GAUSS_WTS[0, 0], sfc_source_jac, lay_major=True,
     )
 
 

@@ -4,8 +4,20 @@ no-scat broadband transport, per column tile, everything VMEM-resident.
 Motivation (docs/PERFORMANCE.md): the XLA pipeline moves ~1.5 GB of HBM
 traffic per 1800-column call (tau, pfrac, sources materialize between
 stages). Per column tile this kernel keeps tau/pfrac in VMEM scratch and
-writes only the (nlay+1, tile) broadband sums -- total HBM traffic is the
+writes only the (tile, nlay+1) broadband sums -- total HBM traffic is the
 small 2-D inputs plus band-resolved Planck values (~30 MB).
+
+VMEM-shaped layout (v5e, 16 MB/core):
+  - ALL per-layer inputs (scaled NN features, col_dry, and the three
+    band-Planck fields) are lane-packed into ONE (nlay, ncol, nfu) array:
+    separate inputs each pad their tiny lane dim (7 or 16) to 128 lanes and
+    cost ~4 MB/block regardless of true size; fused they share one block.
+  - layer-leading layout (nlay, tile, X): the per-layer loop indexes the
+    leading dim, the best-supported dynamic index in Mosaic, and matches
+    the driver's lay-major staging (no transposes feeding the kernel).
+  - fluxes accumulate in (nlay+1, tile) scratch (row writes per layer) and
+    are written once, transposed, to (tile, nlay+1) output blocks -- which
+    keeps the output lane dim == full array dim, legal for any tile size.
 
 Phasing inside one grid step (one column tile):
   A. per-layer MLP (three GEMMs + softsign, MXU) -> tau, pfrac scratch;
@@ -34,48 +46,45 @@ def _softsign(x):
     return x / (1.0 + jnp.abs(x))
 
 
-def _mega_kernel(nlay, ngpt, d_secant, two_pi_w, tau_thresh,
-                 x_ref, cd_ref, pll_ref, plt_ref, plb_ref, pls_ref,
-                 emis_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+def _mega_kernel(nlay, ngpt, nband, nf, d_secant, two_pi_w, tau_thresh,
+                 fused_ref, pls_ref, emis_ref,
+                 w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
                  omean_ref, ostd_ref, oh_ref,
-                 dn_ref, up_ref, tau_scr, pf_scr):
+                 up_ref, dn_ref, tau_scr, pf_scr, dn_acc, up_acc):
     f32 = jnp.float32
+    o_lay = nf + 1          # fused lane offsets: [x | col_dry | B_lay | B_lev_top | B_lev_bot]
+    o_top = o_lay + nband
+    o_bot = o_top + nband
+
+    w1 = w1_ref[:, :]
+    b1 = b1_ref[0, :]
+    w2 = w2_ref[:, :]
+    b2 = b2_ref[0, :]
+    w3 = w3_ref[:, :]
+    b3 = b3_ref[0, :]
+    omean = omean_ref[0, :ngpt]
+    ostd = ostd_ref[0, :ngpt]
+    oh = oh_ref[:, :]
 
     # ---- phase A: per-layer MLP -> tau, pfrac in VMEM scratch ----------
-    w1 = w1_ref[:, :]
-    b1 = b1_ref[:]
-    w2 = w2_ref[:, :]
-    b2 = b2_ref[:]
-    w3 = w3_ref[:, :]
-    b3 = b3_ref[:]
-    omean = omean_ref[:]
-    ostd = ostd_ref[:]
-
     def mlp_layer(l, _):
-        x = x_ref[:, l, :]
+        f = fused_ref[l]                      # (tile, nfu)
+        x = f[:, :nf]
         h = _softsign(jnp.dot(x, w1, preferred_element_type=f32) + b1)
         h = _softsign(jnp.dot(h, w2, preferred_element_type=f32) + b2)
         y = jnp.dot(h, w3, preferred_element_type=f32) + b3
-        yt = ostd[:ngpt] * y[:, :ngpt] + omean[:ngpt]
+        yt = ostd * y[:, :ngpt] + omean
         y2 = yt * yt
         y4 = y2 * y2
-        tau_scr[:, l, :] = (y4 * y4) * cd_ref[:, l][:, None]
-        pf = y[:, ngpt:]
-        pf_scr[:, l, :] = pf * pf
+        tau_scr[l] = (y4 * y4) * f[:, nf:nf + 1]
+        pf = y[:, ngpt:2 * ngpt]
+        pf_scr[l] = pf * pf
         return 0
 
     jax.lax.fori_loop(0, nlay, mlp_layer, 0)
 
-    oh = oh_ref[:, :]
-
-    def sources_at(l, lev_band_ref):
-        pf = pf_scr[:, l, :]
-        lay = pf * jnp.dot(pll_ref[:, l, :], oh, preferred_element_type=f32)
-        lev = jnp.dot(lev_band_ref[:, l, :], oh, preferred_element_type=f32)
-        return pf, lay, lev
-
-    def transport(l, rad, lev_band_ref, pf_lev_from_next):
-        tl = tau_scr[:, l, :] * d_secant
+    def transport(l, rad, band_off, pf_lev_idx):
+        tl = tau_scr[l] * d_secant
         trans = jnp.exp(-tl)
         tl_safe = jnp.where(tl > tau_thresh, tl, 1.0)
         fact = jnp.where(
@@ -83,125 +92,298 @@ def _mega_kernel(nlay, ngpt, d_secant, two_pi_w, tau_thresh,
             (1.0 - trans) / tl_safe - trans,
             tl * (0.5 - (1.0 / 3.0) * tl),
         )
-        pf, lay, levb = sources_at(l, lev_band_ref)
-        # level source: pfrac of the adjacent layer per reference
-        # convention -- for the down sweep the level below layer l uses
-        # pfrac[min(l+1-1)] = pfrac[l]... see compute_planck_source_nn:
-        # level l takes pfrac of layer min(l, nlay-1); the bottom level of
-        # layer l is level l+1 -> pfrac[min(l+1, nlay-1)]
-        pf_lev = pf_scr[:, pf_lev_from_next(l), :]
-        lev = pf_lev * levb
+        pf = pf_scr[l]
+        f = fused_ref[l]
+        lay = pf * jnp.dot(f[:, o_lay:o_top], oh, preferred_element_type=f32)
+        levb = jnp.dot(f[:, band_off:band_off + nband], oh,
+                       preferred_element_type=f32)
+        # level source: level l takes pfrac of layer min(l, nlay-1); the
+        # bottom level of layer l is level l+1 -> pfrac[min(l+1, nlay-1)]
+        # (see compute_planck_source_nn)
+        lev = pf_scr[pf_lev_idx] * levb
         src = (1.0 - trans) * lev + 2.0 * fact * (lay - lev)
         return trans * rad + src
 
     # ---- phase B: top-down sweep ---------------------------------------
     def down(l, rad):
-        rad = transport(
-            l, rad, plb_ref,
-            lambda ll: jnp.minimum(ll + 1, nlay - 1),
-        )
-        dn_ref[pl.ds(l + 1, 1), :] = (jnp.sum(rad, axis=1) * two_pi_w)[None, :]
+        rad = transport(l, rad, o_bot, jnp.minimum(l + 1, nlay - 1))
+        dn_acc[pl.ds(l + 1, 1), :] = (jnp.sum(rad, axis=1) * two_pi_w)[None, :]
         return rad
 
-    rad = jnp.zeros_like(tau_scr[:, 0, :])
-    dn_ref[pl.ds(0, 1), :] = jnp.zeros_like(rad[:, 0])[None, :]
+    rad = jnp.zeros_like(tau_scr[0])
+    dn_acc[pl.ds(0, 1), :] = jnp.zeros_like(rad[:, 0])[None, :]
     rad = jax.lax.fori_loop(0, nlay, down, rad)
 
     # ---- phase C: surface + bottom-up sweep ----------------------------
-    pf_sfc = pf_scr[:, nlay - 1, :]
-    sfc_source = pf_sfc * jnp.dot(pls_ref[:, :], oh, preferred_element_type=f32)
+    sfc_source = pf_scr[nlay - 1] * jnp.dot(
+        pls_ref[:, :], oh, preferred_element_type=f32)
     emis = emis_ref[:, :]
     rad = rad * (1.0 - emis) + emis * sfc_source
-    up_ref[pl.ds(nlay, 1), :] = (jnp.sum(rad, axis=1) * two_pi_w)[None, :]
+    up_acc[pl.ds(nlay, 1), :] = (jnp.sum(rad, axis=1) * two_pi_w)[None, :]
 
     def up(i, rad):
         l = nlay - 1 - i
-        rad = transport(l, rad, plt_ref, lambda ll: jnp.minimum(ll, nlay - 1))
-        up_ref[pl.ds(l, 1), :] = (jnp.sum(rad, axis=1) * two_pi_w)[None, :]
+        rad = transport(l, rad, o_top, l)
+        up_acc[pl.ds(l, 1), :] = (jnp.sum(rad, axis=1) * two_pi_w)[None, :]
         return rad
 
     jax.lax.fori_loop(0, nlay, up, rad)
 
+    dn_ref[:, :] = jnp.transpose(dn_acc[:, :], (1, 0))
+    up_ref[:, :] = jnp.transpose(up_acc[:, :], (1, 0))
 
-def lw_clearsky_megakernel(
+
+def _prep_kernel(nlay, ngpt, nband, nf, tile_c, d_secant, tau_thresh,
+                 fused_ref, pls_ref,
+                 w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                 omean_ref, ostd_ref, oh_ref,
+                 trans_ref, sdn_ref, sup_ref, sfc_ref):
+    f32 = jnp.float32
+    o_lay = nf + 1
+    o_top = o_lay + nband
+    o_bot = o_top + nband
+    rows = nlay * tile_c
+
+    ff = fused_ref[:, :, :].reshape(rows, fused_ref.shape[-1])
+    x = ff[:, :nf]
+    w1 = w1_ref[:, :]
+    h = _softsign(jnp.dot(x, w1, preferred_element_type=f32) + b1_ref[0, :])
+    h = _softsign(jnp.dot(h, w2_ref[:, :], preferred_element_type=f32)
+                  + b2_ref[0, :])
+    y = jnp.dot(h, w3_ref[:, :], preferred_element_type=f32) + b3_ref[0, :]
+    yt = ostd_ref[0, :ngpt] * y[:, :ngpt] + omean_ref[0, :ngpt]
+    y2 = yt * yt
+    y4 = y2 * y2
+    tl = (y4 * y4) * ff[:, nf:nf + 1] * d_secant
+    pf = y[:, ngpt:2 * ngpt]
+    pf = pf * pf
+
+    trans = jnp.exp(-tl)
+    tl_safe = jnp.where(tl > tau_thresh, tl, 1.0)
+    fact = jnp.where(
+        tl > tau_thresh,
+        (1.0 - trans) / tl_safe - trans,
+        tl * (0.5 - (1.0 / 3.0) * tl),
+    )
+    oh = oh_ref[:, :]
+    lay = pf * jnp.dot(ff[:, o_lay:o_top], oh, preferred_element_type=f32)
+    lev_t = pf * jnp.dot(ff[:, o_top:o_bot], oh, preferred_element_type=f32)
+    # pfrac of the layer below: shift rows by one layer (= tile_c rows in
+    # the (nlay, tile_c) flattening); the bottom layer reuses its own pfrac
+    pf_next = pltpu.roll(pf, rows - tile_c, axis=0)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    pf_next = jnp.where(ridx >= (nlay - 1) * tile_c, pf, pf_next)
+    lev_b = pf_next * jnp.dot(ff[:, o_bot:o_bot + nband], oh,
+                              preferred_element_type=f32)
+    one_m_t = 1.0 - trans
+    two_fact = 2.0 * fact
+    trans_ref[:, :, :] = trans.reshape(nlay, tile_c, ngpt)
+    sdn_ref[:, :, :] = (one_m_t * lev_b + two_fact * (lay - lev_b)).reshape(
+        nlay, tile_c, ngpt)
+    sup_ref[:, :, :] = (one_m_t * lev_t + two_fact * (lay - lev_t)).reshape(
+        nlay, tile_c, ngpt)
+    sfc_ref[:, :] = pf[(nlay - 1) * tile_c:, :] * jnp.dot(
+        pls_ref[:, :], oh, preferred_element_type=f32)
+
+
+def lw_prep_pallas(
     model,
-    nn_inputs,       # (ncol, nlay, nf) scaled features
-    col_dry,         # (ncol, nlay)
-    planck_lay_band,  # (ncol, nlay, nband)
-    planck_lev_band,  # (ncol, nlay+1, nband)
+    nn_inputs,        # (nlay, ncol, nf) scaled features, layer-major
+    col_dry,          # (nlay, ncol)
+    planck_lay_band,  # (nlay, ncol, nband)
+    planck_lev_band,  # (nlay+1, ncol, nband)
     planck_sfc_band,  # (ncol, nband)
-    one_hot,         # (nband, ngpt) band->gpt expansion
-    sfc_emis,        # (ncol, ngpt)
+    one_hot,          # (nband, ngpt)
     d_secant: float = 1.66,
-    weight: float = 0.5,
-    tile_c: int = 128,
+    tile_c: int = 32,
     interpret: bool | None = None,
 ):
-    """Broadband LW fluxes (flux_up, flux_dn), each (ncol, nlay+1), from
-    scaled NN inputs in one fused kernel. Canonical top-at-0, single
-    angle, zero incident flux; float32; 3-layer softsign 'lw_both' model.
+    """Fused LW front-end: feature-packed inputs -> (trans, src_dn, src_up,
+    sfc_source), each layer-major, in ONE loop-free Pallas pass.
+
+    Replaces the staged MLP -> postproc -> Planck expand -> source stages:
+    tau, pfrac, and the lay/lev g-point sources never reach HBM (the staged
+    path materializes ~6 (nlay, ncol, ngpt) fields ~ 330 MB at RFMIP scale;
+    this writes exactly the 3 the solver scans consume). The MLP runs as
+    three (nlay*tile_c, .) GEMMs per grid step -- full-height MXU batches,
+    no per-layer loop. The downstream broadband sweeps stay in XLA lax.scan
+    (full-width, already bandwidth-optimal).
+
+    Physics identical to predict_nn_lw + compute_planck_source_nn + the
+    source/transmittance prologue of lw_solver_noscat (reference
+    mo_gas_optics_kernels.F90:690-862, 615-683;
+    mo_rte_solver_kernels.F90:119-330). Single 'lw_both' model, f32.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    ncol, nlay, nf = nn_inputs.shape
+    nlay, ncol, nf = nn_inputs.shape
     nband, ngpt = one_hot.shape
+    f32 = jnp.float32
+
+    fused = jnp.concatenate(
+        [
+            nn_inputs.astype(f32),
+            col_dry.astype(f32)[..., None],
+            planck_lay_band.astype(f32),
+            planck_lev_band[:-1].astype(f32),
+            planck_lev_band[1:].astype(f32),
+        ],
+        axis=-1,
+    )
+    nfu = fused.shape[-1]
     cpad = (-ncol) % tile_c
     if cpad:
-        pad2 = lambda a: jnp.pad(a, ((0, cpad),) + ((0, 0),) * (a.ndim - 1))
-        nn_inputs, col_dry = pad2(nn_inputs), pad2(col_dry)
-        planck_lay_band, planck_lev_band = pad2(planck_lay_band), pad2(planck_lev_band)
-        planck_sfc_band, sfc_emis = pad2(planck_sfc_band), pad2(sfc_emis)
-    n = nn_inputs.shape[0]
+        fused = jnp.pad(fused, ((0, 0), (0, cpad), (0, 0)))
+        planck_sfc_band = jnp.pad(planck_sfc_band, ((0, cpad), (0, 0)))
+    n = fused.shape[1]
     grid = (n // tile_c,)
 
     w1, w2, w3 = model.weights
     b1, b2, b3 = model.biases
-    f32 = jnp.float32
+    row2 = lambda a: jnp.asarray(a, f32).reshape(1, -1)
     tau_thresh = float(np.sqrt(np.finfo(np.float32).eps))
-    two_pi_w = 2.0 * np.pi * weight
 
-    col3 = lambda d2: pl.BlockSpec((tile_c,) + d2, lambda i: (i,) + (0,) * len(d2),
-                                   memory_space=pltpu.VMEM)
     rep = lambda shp: pl.BlockSpec(shp, lambda i: (0,) * len(shp),
                                    memory_space=pltpu.VMEM)
-    out_bs = pl.BlockSpec((nlay + 1, tile_c), lambda i: (0, i), memory_space=pltpu.VMEM)
+    lay3 = lambda d: pl.BlockSpec((nlay, tile_c, d), lambda i: (0, i, 0),
+                                  memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
-        _mega_kernel, nlay, ngpt, d_secant, two_pi_w, tau_thresh
+        _prep_kernel, nlay, ngpt, nband, nf, tile_c, d_secant, tau_thresh
     )
-    dn, up = pl.pallas_call(
+    trans, sdn, sup, sfc = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            col3((nlay, nf)), col3((nlay,)),
-            col3((nlay, nband)),
-            col3((nlay, nband)),  # lev tops
-            col3((nlay, nband)),  # lev bottoms
-            col3((nband,)), col3((ngpt,)),
-            rep(w1.shape), rep(b1.shape), rep(w2.shape), rep(b2.shape),
-            rep(w3.shape), rep(b3.shape),
-            rep(model.output_mean.shape), rep(model.output_std.shape),
+            lay3(nfu),
+            pl.BlockSpec((tile_c, nband), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            rep(w1.shape), rep((1, b1.shape[0])),
+            rep(w2.shape), rep((1, b2.shape[0])),
+            rep(w3.shape), rep((1, b3.shape[0])),
+            rep((1, model.output_mean.shape[0])),
+            rep((1, model.output_std.shape[0])),
+            rep(one_hot.shape),
+        ],
+        out_specs=(
+            lay3(ngpt), lay3(ngpt), lay3(ngpt),
+            pl.BlockSpec((tile_c, ngpt), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nlay, n, ngpt), f32),
+            jax.ShapeDtypeStruct((nlay, n, ngpt), f32),
+            jax.ShapeDtypeStruct((nlay, n, ngpt), f32),
+            jax.ShapeDtypeStruct((n, ngpt), f32),
+        ),
+        interpret=interpret,
+    )(
+        fused,
+        planck_sfc_band.astype(f32),
+        w1.astype(f32), row2(b1), w2.astype(f32), row2(b2),
+        w3.astype(f32), row2(b3),
+        row2(model.output_mean), row2(model.output_std),
+        one_hot.astype(f32),
+    )
+    if cpad:
+        trans, sdn, sup = trans[:, :ncol], sdn[:, :ncol], sup[:, :ncol]
+        sfc = sfc[:ncol]
+    return trans, sdn, sup, sfc
+
+
+def lw_clearsky_megakernel(
+    model,
+    nn_inputs,        # (nlay, ncol, nf) scaled features, layer-major
+    col_dry,          # (nlay, ncol)
+    planck_lay_band,  # (nlay, ncol, nband)
+    planck_lev_band,  # (nlay+1, ncol, nband)
+    planck_sfc_band,  # (ncol, nband)
+    one_hot,          # (nband, ngpt) band->gpt expansion
+    sfc_emis,         # (ncol, ngpt)
+    d_secant: float = 1.66,
+    weight: float = 0.5,
+    tile_c: int = 64,
+    interpret: bool | None = None,
+):
+    """Broadband LW fluxes (flux_up, flux_dn), each (ncol, nlay+1), from
+    scaled layer-major NN inputs in one fused kernel. Canonical top-at-0,
+    single angle, zero incident flux; float32; 3-layer softsign 'lw_both'
+    model."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nlay, ncol, nf = nn_inputs.shape
+    nband, ngpt = one_hot.shape
+    f32 = jnp.float32
+
+    # one lane-packed per-layer input: [x | col_dry | B_lay | B_top | B_bot]
+    fused = jnp.concatenate(
+        [
+            nn_inputs.astype(f32),
+            col_dry.astype(f32)[..., None],
+            planck_lay_band.astype(f32),
+            planck_lev_band[:-1].astype(f32),
+            planck_lev_band[1:].astype(f32),
+        ],
+        axis=-1,
+    )
+    nfu = fused.shape[-1]
+
+    cpad = (-ncol) % tile_c
+    if cpad:
+        fused = jnp.pad(fused, ((0, 0), (0, cpad), (0, 0)))
+        planck_sfc_band = jnp.pad(planck_sfc_band, ((0, cpad), (0, 0)))
+        sfc_emis = jnp.pad(sfc_emis, ((0, cpad), (0, 0)))
+    n = fused.shape[1]
+    grid = (n // tile_c,)
+
+    w1, w2, w3 = model.weights
+    b1, b2, b3 = model.biases
+    row2 = lambda a: jnp.asarray(a, f32).reshape(1, -1)
+    tau_thresh = float(np.sqrt(np.finfo(np.float32).eps))
+    two_pi_w = 2.0 * np.pi * weight
+
+    col2 = lambda d: pl.BlockSpec((tile_c, d), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    rep = lambda shp: pl.BlockSpec(shp, lambda i: (0,) * len(shp),
+                                   memory_space=pltpu.VMEM)
+    out_bs = pl.BlockSpec((tile_c, nlay + 1), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _mega_kernel, nlay, ngpt, nband, nf, d_secant, two_pi_w, tau_thresh
+    )
+    up, dn = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nlay, tile_c, nfu), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            col2(nband), col2(ngpt),
+            rep(w1.shape), rep((1, b1.shape[0])),
+            rep(w2.shape), rep((1, b2.shape[0])),
+            rep(w3.shape), rep((1, b3.shape[0])),
+            rep((1, model.output_mean.shape[0])),
+            rep((1, model.output_std.shape[0])),
             rep(one_hot.shape),
         ],
         out_specs=(out_bs, out_bs),
         out_shape=(
-            jax.ShapeDtypeStruct((nlay + 1, n), f32),
-            jax.ShapeDtypeStruct((nlay + 1, n), f32),
+            jax.ShapeDtypeStruct((n, nlay + 1), f32),
+            jax.ShapeDtypeStruct((n, nlay + 1), f32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile_c, nlay, ngpt), f32),
-            pltpu.VMEM((tile_c, nlay, ngpt), f32),
+            pltpu.VMEM((nlay, tile_c, ngpt), f32),
+            pltpu.VMEM((nlay, tile_c, ngpt), f32),
+            pltpu.VMEM((nlay + 1, tile_c), f32),
+            pltpu.VMEM((nlay + 1, tile_c), f32),
         ],
         interpret=interpret,
     )(
-        nn_inputs.astype(f32), col_dry.astype(f32),
-        planck_lay_band.astype(f32),
-        planck_lev_band[:, :-1, :].astype(f32),
-        planck_lev_band[:, 1:, :].astype(f32),
+        fused,
         planck_sfc_band.astype(f32), sfc_emis.astype(f32),
-        w1.astype(f32), b1.astype(f32), w2.astype(f32), b2.astype(f32),
-        w3.astype(f32), b3.astype(f32),
-        model.output_mean.astype(f32), model.output_std.astype(f32),
+        w1.astype(f32), row2(b1), w2.astype(f32), row2(b2),
+        w3.astype(f32), row2(b3),
+        row2(model.output_mean), row2(model.output_std),
         one_hot.astype(f32),
     )
-    return up[:, :ncol].T, dn[:, :ncol].T
+    return up[:ncol], dn[:ncol]

@@ -1,0 +1,113 @@
+"""Benchmark the fused LW megakernel core against the staged lay-major core
+on the current backend (run on the TPU tunnel; see docs/PERFORMANCE.md).
+
+Usage: python scripts/bench_lw_mega.py [tile_c ...]   (default: 64 128 256)
+
+Prints per-variant ms/1800cols plus a flux parity check vs the staged core.
+"""
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from rte_rrtmgp_nn_tpu.drivers.rfmip import (
+        _lw_core_lay_major,
+        _lw_core_mega,
+        _lw_core_prep,
+    )
+    from rte_rrtmgp_nn_tpu.drivers.rfmip_io import read_rfmip
+    from rte_rrtmgp_nn_tpu.gasoptics.planck import PlanckTable, lw_spectral_g128
+    from rte_rrtmgp_nn_tpu.models.network import load_model_netcdf
+
+    tiles = [int(a) for a in sys.argv[1:]] or [64, 128, 256]
+    dtype = jnp.float32
+    data = read_rfmip(
+        "/root/reference/examples/rfmip-clear-sky/"
+        "multiple_input4MIPs_radiation_RFMIP_UColorado-RFMIP-1-2_none.nc"
+    )
+    ncol = data.ncol
+    models = [load_model_netcdf(
+        "/root/reference/neural/data/lw-g128-210809_both_BEST.nc")]
+    spec = lw_spectral_g128()
+    table = PlanckTable.compute(spec.band_lims_wvn_array, dtype=dtype)
+
+    concs = {k: jnp.asarray(v, dtype) for k, v in data.gas_concs.concs.items()}
+    args = (
+        jnp.asarray(data.play, dtype), jnp.asarray(data.plev, dtype),
+        jnp.asarray(data.tlay, dtype), jnp.asarray(data.tlev, dtype),
+        jnp.asarray(data.tsfc, dtype),
+        jnp.broadcast_to(
+            jnp.asarray(data.sfc_emis, dtype)[:, None], (ncol, spec.nband)),
+        concs,
+    )
+    args = jax.device_put(args)
+
+    def timed(fn, n_iter=20, reps=3):
+        out = fn(*args)
+        jax.block_until_ready(out)  # compile
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                out = fn(*args)
+            jax.block_until_ready(out)
+            best = min(best, (time.perf_counter() - t0) / n_iter)
+        return best, out
+
+    staged = jax.jit(functools.partial(
+        _lw_core_lay_major, models, table, spec, top_at_1=data.top_at_1,
+        solver_variant="fused"))
+    t_staged, ref = timed(staged)
+    print(f"staged lay-major (fused): {t_staged*1e3:8.3f} ms  "
+          f"mean_dn={float(np.mean(np.asarray(ref.flux_dn))):.4f}", flush=True)
+
+    presrc = jax.jit(functools.partial(
+        _lw_core_lay_major, models, table, spec, top_at_1=data.top_at_1,
+        solver_variant="presrc"))
+    t_p, out_p = timed(presrc)
+    err = float(np.max(np.abs(np.asarray(out_p.flux_dn) - np.asarray(ref.flux_dn))))
+    print(f"staged lay-major (presrc): {t_p*1e3:8.3f} ms  max|d_dn|={err:.2e}",
+          flush=True)
+
+    for tc in tiles:
+        prep = jax.jit(functools.partial(
+            _lw_core_prep, models, table, spec, top_at_1=data.top_at_1,
+            tile_c=tc))
+        try:
+            t_prep, out = timed(prep)
+            err_dn = float(np.max(np.abs(
+                np.asarray(out.flux_dn) - np.asarray(ref.flux_dn))))
+            print(f"prep tile_c={tc:4d}: {t_prep*1e3:8.3f} ms  "
+                  f"max|d_dn|={err_dn:.2e}", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"prep tile_c={tc:4d}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+
+    for tc in tiles:
+        mega = jax.jit(functools.partial(
+            _lw_core_mega, models, table, spec, top_at_1=data.top_at_1,
+            tile_c=tc))
+        try:
+            t_mega, out = timed(mega)
+        except Exception as e:  # noqa: BLE001
+            print(f"mega tile_c={tc:4d}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+            continue
+        err_up = float(np.max(np.abs(
+            np.asarray(out.flux_up) - np.asarray(ref.flux_up))))
+        err_dn = float(np.max(np.abs(
+            np.asarray(out.flux_dn) - np.asarray(ref.flux_dn))))
+        print(f"mega tile_c={tc:4d}: {t_mega*1e3:8.3f} ms  "
+              f"max|d_up|={err_up:.2e} max|d_dn|={err_dn:.2e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

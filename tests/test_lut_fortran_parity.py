@@ -142,6 +142,134 @@ def fortran_tau_major(kd, itp):
     return tau
 
 
+def fortran_tau_minor(kd, minor, atmos_is_lower, itp, play, tlay, col_gas):
+    """1-based transcription of gas_optical_depths_minor
+    (mo_gas_optics_kernels.F90:360-462) for one atmosphere, with the
+    troposphere mask standing in for the contiguous layer_limits ranges."""
+    jtemp, jpress, tropo, jeta, col_mix, fmajor, fminor = itp
+    ncol, nlay = jtemp.shape
+    ngpt = kd.ngpt
+    kminor = np.asarray(minor.kminor)  # (ntemp, neta, ncontrib) C-order
+    gf = np.asarray(kd.gpoint_flavor)  # (ngpt, 2) 0-based [lower, upper]
+    cg = np.asarray(col_gas)
+    pa_to_hpa = 0.01
+
+    tau = np.zeros((ncol, nlay, ngpt))
+    for im in range(minor.n_minor):
+        gptS, gptE = minor.limits_gpt[im]  # 0-based half-open
+        ks = minor.kminor_start[im]  # 0-based
+        for icol in range(ncol):
+            for ilay in range(nlay):
+                in_atmos = tropo[icol, ilay] if atmos_is_lower else not tropo[icol, ilay]
+                if not in_atmos:
+                    continue
+                scaling = cg[icol, ilay, minor.idx_minor[im]]
+                if minor.scales_with_density[im]:
+                    scaling = scaling * (
+                        pa_to_hpa * play[icol, ilay] / tlay[icol, ilay]
+                    )
+                    iscl = minor.idx_minor_scaling[im]
+                    if iscl > 0:
+                        vmr_fact = 1.0 / cg[icol, ilay, 0]
+                        dry_fact = 1.0 / (
+                            1.0 + cg[icol, ilay, 1 + kd.gas_names.index("h2o")] * vmr_fact
+                        )
+                        if minor.scale_by_complement[im]:
+                            scaling = scaling * (
+                                1.0 - cg[icol, ilay, iscl] * vmr_fact * dry_fact
+                            )
+                        else:
+                            scaling = scaling * (
+                                cg[icol, ilay, iscl] * vmr_fact * dry_fact
+                            )
+                iflav = gf[gptS, 0 if atmos_is_lower else 1]
+                jt = jtemp[icol, ilay]  # 1-based
+                for g in range(gptS, gptE):
+                    krow = ks + (g - gptS)
+                    # interpolate2D_byflav (:1089-1107), 1-based indices
+                    val = (
+                        fminor[0, 0, iflav, icol, ilay]
+                        * kminor[jt - 1, jeta[0, iflav, icol, ilay] - 1, krow]
+                        + fminor[1, 0, iflav, icol, ilay]
+                        * kminor[jt - 1, jeta[0, iflav, icol, ilay], krow]
+                        + fminor[0, 1, iflav, icol, ilay]
+                        * kminor[jt, jeta[1, iflav, icol, ilay] - 1, krow]
+                        + fminor[1, 1, iflav, icol, ilay]
+                        * kminor[jt, jeta[1, iflav, icol, ilay], krow]
+                    )
+                    tau[icol, ilay, g] += scaling * val
+    return tau
+
+
+def fortran_interpolate1d(val, offset, delta, table):
+    """1-based transcription of interpolate1D (:1024-1043)."""
+    val0 = (val - offset) / delta
+    frac = val0 - int(val0)
+    index = min(table.shape[0] - 1, max(1, int(val0) + 1))  # 1-based
+    return table[index - 1] + frac * (table[index] - table[index - 1])
+
+
+def fortran_planck_source(kd, itp, tlay, tlev, tsfc, sfc_lay_1based):
+    """1-based transcription of compute_Planck_source (:514-611)."""
+    jtemp, jpress, tropo, jeta, col_mix, fmajor, fminor = itp
+    ncol, nlay = jtemp.shape
+    ngpt, nband = kd.ngpt, kd.nband
+    pfracin = np.asarray(kd.pfracin)  # (ntemp, npres+1, neta, ngpt) C-order
+    totplnk = np.asarray(kd.planck.totplnk)  # (nPlanckTemp, nband)
+    gf = np.asarray(kd.gpoint_flavor)
+    blg = kd.spectral.band_lims_gpt_array
+    tmin, tdelta = kd.planck.temp_ref_min, kd.planck.totplnk_delta
+    delta_tsfc = 1.0
+
+    pfrac = np.zeros((ncol, nlay, ngpt))
+    lay_source = np.zeros((ncol, nlay, ngpt))
+    lev_source = np.zeros((ncol, nlay + 1, ngpt))
+    sfc_source = np.zeros((ncol, ngpt))
+    sfc_source_jac = np.zeros((ncol, ngpt))
+
+    for icol in range(ncol):
+        for ilay in range(nlay):
+            b_lev = fortran_interpolate1d(tlev[icol, ilay], tmin, tdelta, totplnk)
+            b_lay = fortran_interpolate1d(tlay[icol, ilay], tmin, tdelta, totplnk)
+            itropo = 1 if tropo[icol, ilay] else 2
+            jt = jtemp[icol, ilay]  # 1-based
+            jp_eff = jpress[icol, ilay] + itropo  # 1-based into npres+1 dim
+            for ib in range(nband):
+                gptS, gptE = blg[ib]
+                iflav = gf[gptS, itropo - 1]
+                for g in range(gptS, gptE):
+                    # interpolate3D_byflav with scaling = (1, 1) (:1136-1165)
+                    acc = 0.0
+                    for itemp in (1, 2):
+                        je = jeta[itemp - 1, iflav, icol, ilay]  # 1-based
+                        acc += (
+                            fmajor[0, 0, itemp - 1, iflav, icol, ilay]
+                            * pfracin[jt + itemp - 2, jp_eff - 2, je - 1, g]
+                            + fmajor[1, 0, itemp - 1, iflav, icol, ilay]
+                            * pfracin[jt + itemp - 2, jp_eff - 2, je, g]
+                            + fmajor[0, 1, itemp - 1, iflav, icol, ilay]
+                            * pfracin[jt + itemp - 2, jp_eff - 1, je - 1, g]
+                            + fmajor[1, 1, itemp - 1, iflav, icol, ilay]
+                            * pfracin[jt + itemp - 2, jp_eff - 1, je, g]
+                        )
+                    pfrac[icol, ilay, g] = acc
+                    lev_source[icol, ilay, g] = acc * b_lev[ib]
+                    lay_source[icol, ilay, g] = acc * b_lay[ib]
+        b_sfc = fortran_interpolate1d(tsfc[icol], tmin, tdelta, totplnk)
+        b_sfc_jac = fortran_interpolate1d(
+            tsfc[icol] + delta_tsfc, tmin, tdelta, totplnk)
+        b_top = fortran_interpolate1d(tlev[icol, nlay], tmin, tdelta, totplnk)
+        for ib in range(nband):
+            gptS, gptE = blg[ib]
+            for g in range(gptS, gptE):
+                lev_source[icol, nlay, g] = pfrac[icol, nlay - 1, g] * b_top[ib]
+                sfc_source[icol, g] = pfrac[icol, sfc_lay_1based - 1, g] * b_sfc[ib]
+                sfc_source_jac[icol, g] = pfrac[icol, sfc_lay_1based - 1, g] * (
+                    b_sfc_jac[ib] - b_sfc[ib]
+                )
+    return lay_source, lev_source, sfc_source, sfc_source_jac, pfrac
+
+
 class TestFortranParity:
     def test_interpolation_indices(self, setup):
         kd, _, atmos = setup
@@ -187,6 +315,83 @@ class TestFortranParity:
         itp = fortran_interpolation(kd, np.asarray(play), np.asarray(tlay), col_gas)
         ref = fortran_tau_major(kd, itp)
         np.testing.assert_allclose(ours, ref, rtol=1e-10)
+
+    def test_tau_minor_matches(self, setup):
+        """Minor-gas tau (density scaling, complement, scaling gas, upper
+        atmosphere) vs the 1-based transcription of
+        gas_optical_depths_minor (:360-462)."""
+        kd, _, atmos = setup
+        play, plev, tlay, tlev, tsfc, gc = atmos
+        from rte_rrtmgp_nn_tpu.gasoptics.nn_gas_optics import get_col_dry
+        from rte_rrtmgp_nn_tpu.ops.gas_optics_lut import tau_minor_one_atmos
+
+        assert kd.minor_lower.n_minor >= 2, "need >=2 lower minor intervals"
+        assert kd.minor_upper.n_minor >= 1
+        assert any(kd.minor_lower.scales_with_density)
+        assert any(kd.minor_lower.scale_by_complement)
+        assert any(i > 0 for i in kd.minor_lower.idx_minor_scaling)
+
+        col_dry = get_col_dry(gc.get_vmr("h2o", 3, 10), plev)
+        col_gas = compute_col_gas(kd, gc, col_dry)
+        ic = interpolation(kd, play, tlay, col_gas)
+        idx_h2o = 1 + kd.gas_names.index("h2o")
+        zeros = jnp.zeros((3, 10, kd.ngpt), jnp.float64)
+        itp = fortran_interpolation(kd, np.asarray(play), np.asarray(tlay), col_gas)
+        for minor, lower in ((kd.minor_lower, True), (kd.minor_upper, False)):
+            ours = np.asarray(tau_minor_one_atmos(
+                kd, minor, lower, ic, play, tlay, col_gas, idx_h2o, zeros))
+            ref = fortran_tau_minor(
+                kd, minor, lower, itp, np.asarray(play), np.asarray(tlay),
+                col_gas)
+            np.testing.assert_allclose(ours, ref, rtol=1e-10)
+
+    def test_tau_absorption_matches(self, setup):
+        """Full major+minor absorption tau vs the composed transcriptions
+        (compute_tau_absorption :150-295)."""
+        kd, _, atmos = setup
+        play, plev, tlay, tlev, tsfc, gc = atmos
+        from rte_rrtmgp_nn_tpu.gasoptics.nn_gas_optics import get_col_dry
+
+        col_dry = get_col_dry(gc.get_vmr("h2o", 3, 10), plev)
+        col_gas = compute_col_gas(kd, gc, col_dry)
+        ic = interpolation(kd, play, tlay, col_gas)
+        ours = np.asarray(compute_tau_absorption(kd, ic, play, tlay, col_gas))
+        itp = fortran_interpolation(kd, np.asarray(play), np.asarray(tlay), col_gas)
+        ref = fortran_tau_major(kd, itp)
+        ref += fortran_tau_minor(
+            kd, kd.minor_lower, True, itp, np.asarray(play), np.asarray(tlay), col_gas)
+        ref += fortran_tau_minor(
+            kd, kd.minor_upper, False, itp, np.asarray(play), np.asarray(tlay), col_gas)
+        np.testing.assert_allclose(ours, ref, rtol=1e-10)
+
+    def test_planck_source_matches(self, setup):
+        """LUT Planck source vs the 1-based transcription of
+        compute_Planck_source (:514-611), canonical orientation.
+
+        The flipped orientation is NOT compared against the reference: this
+        fork's single-lev_source refactor pairs the flipped down-source with
+        the physically upper layer edge (see compute_planck_source_nn
+        docstring); this framework canonicalizes instead, so flipped inputs
+        reproduce flipped canonical fluxes exactly -- asserted by
+        tests/test_verification_invariants.py::test_vertical_reverse."""
+        kd, _, atmos = setup
+        play, plev, tlay, tlev, tsfc, gc = atmos
+        from rte_rrtmgp_nn_tpu.gasoptics.nn_gas_optics import get_col_dry
+        from rte_rrtmgp_nn_tpu.ops.gas_optics_lut import compute_planck_source
+
+        col_dry = get_col_dry(gc.get_vmr("h2o", 3, 10), plev)
+        col_gas = compute_col_gas(kd, gc, col_dry)
+        ic = interpolation(kd, play, tlay, col_gas)
+        lay, lev, sfc, sfc_jac = compute_planck_source(
+            kd, ic, tlay, tlev, tsfc, top_at_1=True)
+        itp = fortran_interpolation(kd, np.asarray(play), np.asarray(tlay), col_gas)
+        lay_f, lev_f, sfc_f, sfc_jac_f, _ = fortran_planck_source(
+            kd, itp, np.asarray(tlay), np.asarray(tlev), np.asarray(tsfc),
+            sfc_lay_1based=10)
+        np.testing.assert_allclose(np.asarray(lay), lay_f, rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(sfc), sfc_f, rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(sfc_jac), sfc_jac_f, rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(lev), lev_f, rtol=1e-10)
 
     def test_rayleigh_scaling(self, setup):
         """tau_rayleigh = k * (col_h2o + col_dry): verify the moist-column

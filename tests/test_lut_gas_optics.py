@@ -128,10 +128,15 @@ class TestLWPath:
         assert np.all(np.isfinite(tau)) and np.all(tau >= 0) and tau.max() > 0.01
         assert np.all(np.asarray(sources.lay_source) >= 0)
 
-    def test_isothermal_blackbody_through_lut(self, lw_kdist_file):
+    def test_isothermal_blackbody_through_lut(self, tmp_path):
         """Full LUT chain at constant T with thick optics must emit
-        sigma*T^4 -- validates pfrac + totplnk + sources + solver units."""
-        kd = load_kdist(lw_kdist_file, GASES)
+        sigma*T^4 -- validates pfrac + totplnk + sources + solver units.
+        Needs the pfrac_uniform table: the closed-form answer mixes TOA-layer
+        pfrac (saturated g-points) with surface pfrac (any thin ones), which
+        only cancels when pfrac is vertically homogeneous."""
+        path = str(tmp_path / "lw_uniform.nc")
+        generate_kdist_nc(path, kind="lw", gpts_per_band=4, pfrac_uniform=True)
+        kd = load_kdist(path, GASES)
         T = 280.0
         play, plev, tlay, tlev, tsfc, gc = make_atmosphere(t_iso=T)
         props, sources = gas_optics_lw_lut(kd, play, plev, tlay, tsfc, gc, tlev=tlev)

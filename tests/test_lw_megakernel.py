@@ -59,8 +59,9 @@ def test_megakernel_matches_staged_pipeline(rfmip_file):
         jnp.float32,
     )
     up, dn = lw_clearsky_megakernel(
-        m, x, cd, table.interpolate(tlay), table.interpolate(tlev),
-        table.interpolate(tsfc), one_hot, emis, tile_c=8, interpret=True,
+        m, jnp.moveaxis(x, 0, 1), cd.T, table.interpolate(tlay.T),
+        table.interpolate(tlev.T), table.interpolate(tsfc), one_hot, emis,
+        tile_c=8, interpret=True,
     )
     # f32 accumulation order differs (per-layer vs flattened-batch GEMMs):
     # absolute agreement at the 1e-3 W/m2 level on ~100-400 W/m2 fluxes
