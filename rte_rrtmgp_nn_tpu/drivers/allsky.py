@@ -32,7 +32,7 @@ from ..rte import rte_lw, rte_sw
 from ..spectral import SpectralMapping
 from .allsky_io import GarandAtmosphere  # noqa: F401 (re-export)
 from .allsky_io import read_garand
-from .rfmip import default_solar_source
+from .rfmip import default_solar_source, resolve_solar_source
 from ..extensions.cloud_optics import CloudOptics, cloud_optics
 
 
@@ -129,14 +129,20 @@ def allsky_sw(
     models: Sequence[NNModel],
     ncol: int = 128,
     spectral: Optional[SpectralMapping] = None,
+    kdist=None,
+    solar_source: Optional[np.ndarray] = None,
     scan_mode: str = "sequential",
     dtype=jnp.float32,
 ) -> FluxesBroadband:
-    """Full all-sky SW run (reference rrtmgp_allsky SW branch)."""
+    """Full all-sky SW run (reference rrtmgp_allsky SW branch). A supplied
+    kdist's NRLSSI2 solar terms take precedence over the brightness-
+    temperature approximation (see rfmip.resolve_solar_source)."""
     spectral = spectral or sw_spectral_g112()
     atm = read_garand(garand_path, ncol)
     co = load_cloud_optics_checked(cloud_optics_path)
-    solar = jnp.asarray(default_solar_source(spectral), dtype)
+    if solar_source is None:
+        solar_source = resolve_solar_source(spectral, kdist)
+    solar = jnp.asarray(solar_source, dtype)
     lwp, iwp, rel, rei = make_clouds(atm.play, atm.tlay, co)
 
     top_at_1 = bool(atm.play[0, 0] < atm.play[0, -1])

@@ -55,6 +55,52 @@ def default_solar_source(spectral: SpectralMapping, tsi: float = 1360.85) -> np.
     return out
 
 
+def resolve_solar_source(
+    spectral: SpectralMapping,
+    kdist=None,
+    tsi: Optional[float] = None,
+    mg_index: Optional[float] = None,
+    sb_index: Optional[float] = None,
+) -> np.ndarray:
+    """Per-g-point TOA solar flux, preferring the k-distribution's NRLSSI2
+    terms whenever a kdist carrying them is supplied (reference
+    mo_gas_optics_rrtmgp.F90:594-599; variability :1058-1095).
+
+    Three tiers:
+      1. kdist g-points match ``spectral``: use ``kdist.solar_source()``
+         directly (the reference behavior).
+      2. kdist bands match but g-point counts differ (e.g. the unreduced
+         g-224 file driving the reduced g-112 NN models): conserve the
+         NRLSSI2 per-band totals and distribute within each band by the
+         spectral mapping's quadrature weights (canonical g-224 weights /
+         calibrated g-112 weights, gasoptics.planck.gpt_weights_for).
+      3. no kdist: brightness-temperature band fractions
+         (``default_solar_source``).
+    """
+    if kdist is None or getattr(kdist, "solar_quiet", None) is None:
+        return default_solar_source(spectral, tsi=tsi or 1360.85)
+    src = np.asarray(kdist.solar_source(mg_index, sb_index, tsi=tsi))
+    if kdist.ngpt == spectral.ngpt:
+        return src
+    kb = np.asarray(kdist.spectral.band_lims_wvn_array, dtype=float)
+    sb = np.asarray(spectral.band_lims_wvn_array, dtype=float)
+    if kdist.nband != spectral.nband or not np.allclose(kb, sb, rtol=5e-2):
+        raise ValueError(
+            "kdist solar source cannot be remapped: band structure differs "
+            f"from the requested spectral mapping ({kdist.nband} vs "
+            f"{spectral.nband} bands)"
+        )
+    from ..gasoptics.planck import gpt_weights_for
+
+    w = gpt_weights_for(spectral)
+    out = np.zeros(spectral.ngpt)
+    for ib, (s, e) in enumerate(spectral.band_lims_gpt):
+        ks, ke = kdist.spectral.band_lims_gpt[ib]
+        band_total = float(np.sum(src[ks:ke]))
+        out[s:e] = band_total * w[s:e] / np.sum(w[s:e])
+    return out
+
+
 def _lw_core(
     models: Sequence[NNModel],
     planck_table: PlanckTable,
@@ -193,6 +239,53 @@ def _lw_core_mega(
     up, dn = lw_clearsky_megakernel(
         models[0], x, col_dry, pl_lay, pl_lev, pl_sfc, one_hot, emis,
         tile_c=tile_c,
+    )
+    if not top_at_1:
+        up, dn = up[:, ::-1], dn[:, ::-1]
+    return FluxesBroadband(flux_up=up, flux_dn=dn, flux_net=dn - up)
+
+
+def _lw_core_mega2(
+    models: Sequence[NNModel],
+    planck_table: PlanckTable,
+    spectral: SpectralMapping,
+    play, plev, tlay, tlev, tsfc, sfc_emis_band, concs_dict,
+    top_at_1: bool,
+    tile_c: int = 32,
+):
+    """Fully-fused LW core (ops/pallas/lw_megakernel.lw_clearsky_mega2):
+    the only XLA staging left is the feature pack and a thin (nf+4)-lane
+    concatenate; the MLP, totplnk interpolation, Planck sources, and both
+    broadband sweeps all run inside one Pallas kernel with VMEM-resident
+    intermediates."""
+    from ..gasoptics.nn_gas_optics import compute_nn_inputs, get_col_dry
+    from ..ops.pallas.lw_megakernel import lw_clearsky_mega2
+
+    gas_desc = GasConcs(concs_dict)
+    ncol, nlay = play.shape
+
+    if not top_at_1:
+        play, tlay = play[:, ::-1], tlay[:, ::-1]
+        plev, tlev = plev[:, ::-1], tlev[:, ::-1]
+        gas_desc = GasConcs({
+            name: gas_desc.get_vmr(name, ncol, nlay)[:, ::-1]
+            for name in gas_desc.concs
+        })
+
+    col_dry = get_col_dry(gas_desc.get_vmr("h2o", ncol, nlay), plev).T
+    gd_t = GasConcs({
+        name: gas_desc.get_vmr(name, ncol, nlay).T
+        for name in gas_desc.concs
+    })
+    x = compute_nn_inputs(play.T, tlay.T, gd_t, models[0])  # (nlay, ncol, nf)
+    one_hot = jnp.asarray(
+        (spectral.gpt2band[None, :] == np.arange(spectral.nband)[:, None]),
+        x.dtype,
+    )
+    emis = spectral.expand(sfc_emis_band)
+    up, dn = lw_clearsky_mega2(
+        models[0], x, col_dry, tlay.T, tlev.T, tsfc, planck_table,
+        one_hot, emis, tile_c=tile_c,
     )
     if not top_at_1:
         up, dn = up[:, ::-1], dn[:, ::-1]
@@ -389,14 +482,17 @@ def rfmip_clear_sky_sw(
     models: Sequence[NNModel],
     spectral: Optional[SpectralMapping] = None,
     solar_source: Optional[np.ndarray] = None,
+    kdist=None,
     scan_mode: str = "sequential",
     dtype=jnp.float32,
 ) -> FluxesBroadband:
     """End-to-end SW clear-sky flux computation with NN gas optics
-    (reference rrtmgp_rfmip_sw.F90)."""
+    (reference rrtmgp_rfmip_sw.F90). When a k-distribution carrying NRLSSI2
+    solar terms is supplied, the TOA source uses it (resolve_solar_source);
+    otherwise the brightness-temperature approximation."""
     spectral = spectral or sw_spectral_g112()
     if solar_source is None:
-        solar_source = default_solar_source(spectral)
+        solar_source = resolve_solar_source(spectral, kdist)
 
     mu0 = np.cos(np.deg2rad(data.sza))
     usecol = data.sza < 90.0 - 0.5 * np.finfo(np.float32).eps  # day columns

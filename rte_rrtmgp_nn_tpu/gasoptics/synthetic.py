@@ -214,9 +214,13 @@ def generate_kdist_nc(
         # NRLSSI2 sensitivity spectra scaled so the default indices give a
         # small correction: (mg_default - a)*facular ~ +7e-5*solar,
         # (sb_default - b)*sunspot ~ -9e-4*solar
+        # band-dependent facular/sunspot shapes so the NRLSSI2 combination
+        # is distinguishable from any quiet-only or band-fraction fallback
+        # in end-to-end tests (the real file's terms vary by band too)
+        band_ramp = np.repeat(1.0 + 0.5 * np.arange(nband) / nband, gpts_per_band)
         variables["solar_source_quiet"] = (("gpt",), solar)
-        variables["solar_source_facular"] = (("gpt",), 0.01 * solar)
-        variables["solar_source_sunspot"] = (("gpt",), -1.0e-6 * solar)
+        variables["solar_source_facular"] = (("gpt",), 0.5 * solar * band_ramp)
+        variables["solar_source_sunspot"] = (("gpt",), -1.0e-5 * solar * band_ramp)
         variables["tsi_default"] = ((), np.float64(tsi))
         variables["mg_default"] = ((), np.float64(0.1567652))
         variables["sb_default"] = ((), np.float64(902.7126))

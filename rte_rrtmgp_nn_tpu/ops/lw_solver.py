@@ -76,6 +76,12 @@ class LWSolution(NamedTuple):
     flux_up: jnp.ndarray
     flux_dn: jnp.ndarray
     flux_up_jac: Optional[jnp.ndarray] = None
+    # Surface-temperature Jacobian of the DOWN flux: identically zero in the
+    # no-scat solver (downwelling radiation never sees the surface). The
+    # reference accepts an optional flux_dn_Jac output but never writes it
+    # (mo_rte_lw.F90:85, computation commented out :398-405); we expose the
+    # exact value instead. Populated (with zeros) whenever flux_up_jac is.
+    flux_dn_jac: Optional[jnp.ndarray] = None
 
 
 def _affine_scan_broadband(trans, source, r0):

@@ -55,8 +55,17 @@ def rte_lw(
     sfc_emis_gpt = spectral.expand(sfc_emis)
     jac = sources.sfc_source_jac if (compute_jac or config.compute_jac) else None
 
+    def with_dn_jac(sol: LWSolution) -> LWSolution:
+        # flux_dn_Jac parity (mo_rte_lw.F90:85): the reference accepts the
+        # output but never computes it -- in the no-scat solver the down
+        # flux is independent of surface temperature, so the Jacobian is
+        # exactly zero. Expose it whenever the up-Jacobian was requested.
+        if jac is None or sol.flux_up_jac is None:
+            return sol
+        return sol._replace(flux_dn_jac=jnp.zeros_like(sol.flux_dn))
+
     if isinstance(optical_props, OpticalProps1scl):
-        return lw_solver_noscat(
+        return with_dn_jac(lw_solver_noscat(
             optical_props.tau,
             sources.lay_source,
             sources.lev_source,
@@ -69,7 +78,7 @@ def rte_lw(
             sfc_source_jac=jac,
             scan_mode=scan_mode,
             broadband=broadband,
-        )
+        ))
     if isinstance(optical_props, OpticalProps2str):
         if use_2stream:
             return lw_solver_2stream(
@@ -85,7 +94,7 @@ def rte_lw(
                 scan_mode=scan_mode,
             )
         # Tang-2018 rescaled no-scattering solution (reference :357-389).
-        return lw_solver_noscat(
+        return with_dn_jac(lw_solver_noscat(
             optical_props.tau,
             sources.lay_source,
             sources.lev_source,
@@ -99,7 +108,7 @@ def rte_lw(
             g=optical_props.g,
             do_rescaling=True,
             scan_mode=scan_mode,
-        )
+        ))
     if isinstance(optical_props, OpticalPropsNstr):
         raise NotImplementedError(
             "rte_lw(...nstr...) not yet implemented"  # parity: mo_rte_lw.F90:391-395

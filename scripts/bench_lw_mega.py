@@ -1,9 +1,10 @@
 """Benchmark the fused LW megakernel core against the staged lay-major core
 on the current backend (run on the TPU tunnel; see docs/PERFORMANCE.md).
 
-Usage: python scripts/bench_lw_mega.py [tile_c ...]   (default: 64 128 256)
+Usage: python scripts/bench_lw_mega.py [--mult N] [--skip-mega] [tile_c ...]
+(default tiles: 64 128 256; --mult replicates the 1800-col RFMIP batch)
 
-Prints per-variant ms/1800cols plus a flux parity check vs the staged core.
+Prints per-variant ms/batch plus a flux parity check vs the staged core.
 """
 from __future__ import annotations
 
@@ -21,19 +22,44 @@ def main() -> None:
     from rte_rrtmgp_nn_tpu.drivers.rfmip import (
         _lw_core_lay_major,
         _lw_core_mega,
+        _lw_core_mega2,
         _lw_core_prep,
     )
     from rte_rrtmgp_nn_tpu.drivers.rfmip_io import read_rfmip
     from rte_rrtmgp_nn_tpu.gasoptics.planck import PlanckTable, lw_spectral_g128
     from rte_rrtmgp_nn_tpu.models.network import load_model_netcdf
 
-    tiles = [int(a) for a in sys.argv[1:]] or [64, 128, 256]
+    argv = sys.argv[1:]
+    mult = 1
+    if "--mult" in argv:
+        i = argv.index("--mult")
+        mult = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    skip_mega = "--skip-mega" in argv
+    argv = [a for a in argv if a != "--skip-mega"]
+    tiles = [int(a) for a in argv] or [64, 128, 256]
     dtype = jnp.float32
     data = read_rfmip(
         "/root/reference/examples/rfmip-clear-sky/"
         "multiple_input4MIPs_radiation_RFMIP_UColorado-RFMIP-1-2_none.nc"
     )
+    if mult > 1:
+        import dataclasses
+        rep = lambda a: np.concatenate([a] * mult, axis=0)
+        data = dataclasses.replace(
+            data,
+            play=rep(data.play), plev=rep(data.plev), tlay=rep(data.tlay),
+            tlev=rep(data.tlev), tsfc=rep(data.tsfc),
+            sfc_emis=rep(data.sfc_emis), sfc_alb=rep(data.sfc_alb),
+            sza=rep(data.sza), tsi=rep(data.tsi),
+            gas_concs=type(data.gas_concs)({
+                k: (rep(v) if getattr(v, "ndim", 0) == 2 else v)
+                for k, v in data.gas_concs.concs.items()
+            }),
+            nexp=data.nexp * mult,
+        )
     ncol = data.ncol
+    print(f"ncol = {ncol}", flush=True)
     models = [load_model_netcdf(
         "/root/reference/neural/data/lw-g128-210809_both_BEST.nc")]
     spec = lw_spectral_g128()
@@ -92,6 +118,22 @@ def main() -> None:
                   f"{str(e)[:300]}", flush=True)
 
     for tc in tiles:
+        mega2 = jax.jit(functools.partial(
+            _lw_core_mega2, models, table, spec, top_at_1=data.top_at_1,
+            tile_c=tc))
+        try:
+            t_m2, out = timed(mega2)
+            err_up = float(np.max(np.abs(
+                np.asarray(out.flux_up) - np.asarray(ref.flux_up))))
+            err_dn = float(np.max(np.abs(
+                np.asarray(out.flux_dn) - np.asarray(ref.flux_dn))))
+            print(f"mega2 tile_c={tc:4d}: {t_m2*1e3:8.3f} ms  "
+                  f"max|d_up|={err_up:.2e} max|d_dn|={err_dn:.2e}", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"mega2 tile_c={tc:4d}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+
+    for tc in tiles if not skip_mega else []:
         mega = jax.jit(functools.partial(
             _lw_core_mega, models, table, spec, top_at_1=data.top_at_1,
             tile_c=tc))

@@ -193,3 +193,103 @@ class TestSWPath:
         # absorbed + reflected + transmitted == incident (within 2-stream tolerance)
         assert np.all(up_toa >= -1e-6) and np.all(up_toa < incident)
         assert np.all(dn_sfc > 0) and np.all(dn_sfc < incident)
+
+
+class TestSolarSourceWiring:
+    """resolve_solar_source: k-distribution NRLSSI2 terms must drive the SW
+    TOA source whenever a kdist is supplied (reference
+    mo_gas_optics_rrtmgp.F90:594-599, variability :1058-1095)."""
+
+    def test_matching_gpts_uses_kdist_terms(self, sw_kdist_file):
+        from rte_rrtmgp_nn_tpu.drivers.rfmip import resolve_solar_source
+
+        kd = load_kdist(sw_kdist_file, GASES)
+        src = resolve_solar_source(kd.spectral, kd)
+        np.testing.assert_allclose(src, np.asarray(kd.solar_source()), rtol=1e-12)
+        # the facular/sunspot terms must be in there (not quiet-only)
+        assert not np.allclose(src, np.asarray(kd.solar_quiet))
+
+    def test_band_remap_conserves_band_totals(self, sw_kdist_file):
+        from rte_rrtmgp_nn_tpu.drivers.rfmip import resolve_solar_source
+        from rte_rrtmgp_nn_tpu.gasoptics.planck import _mapping_from_counts
+
+        kd = load_kdist(sw_kdist_file, GASES)
+        target = _mapping_from_counts(
+            (2,) * kd.nband, kd.spectral.band_lims_wvn_array)
+        src = resolve_solar_source(target, kd)
+        assert src.shape == (target.ngpt,)
+        ref = np.asarray(kd.solar_source())
+        for ib in range(kd.nband):
+            s, e = target.band_lims_gpt[ib]
+            ks, ke = kd.spectral.band_lims_gpt[ib]
+            np.testing.assert_allclose(
+                src[s:e].sum(), ref[ks:ke].sum(), rtol=1e-10)
+
+    def test_band_mismatch_raises(self, sw_kdist_file, lw_kdist_file):
+        from rte_rrtmgp_nn_tpu.drivers.rfmip import resolve_solar_source
+
+        kd = load_kdist(sw_kdist_file, GASES)
+        kd_lw = load_kdist(lw_kdist_file, GASES)
+        with pytest.raises(ValueError):
+            resolve_solar_source(kd_lw.spectral, kd)
+
+    def test_no_kdist_falls_back(self):
+        from rte_rrtmgp_nn_tpu.drivers.rfmip import (
+            default_solar_source,
+            resolve_solar_source,
+        )
+        from rte_rrtmgp_nn_tpu.gasoptics.planck import sw_spectral_g112
+
+        spec = sw_spectral_g112()
+        np.testing.assert_allclose(
+            resolve_solar_source(spec), default_solar_source(spec))
+
+    def test_sw_driver_end_to_end_with_kdist(self, sw_kdist_file):
+        """rfmip_clear_sky_sw(kdist=...) must produce the same fluxes as
+        passing resolve_solar_source explicitly, and different fluxes from
+        the brightness-temperature default (the NRLSSI2 spectral shape
+        redistributes absorption even under TSI renormalization)."""
+        import dataclasses
+
+        from rte_rrtmgp_nn_tpu.drivers.rfmip import (
+            resolve_solar_source,
+            rfmip_clear_sky_sw,
+        )
+        from rte_rrtmgp_nn_tpu.drivers.rfmip_io import read_rfmip
+        from rte_rrtmgp_nn_tpu.gasoptics.planck import sw_spectral_g112
+        from rte_rrtmgp_nn_tpu.models.network import load_model_netcdf
+
+        data = read_rfmip(
+            "/root/reference/examples/rfmip-clear-sky/"
+            "multiple_input4MIPs_radiation_RFMIP_UColorado-RFMIP-1-2_none.nc"
+        )
+        idx = np.arange(0, data.ncol, 225)  # 8 columns
+        data = dataclasses.replace(
+            data,
+            play=data.play[idx], plev=data.plev[idx], tlay=data.tlay[idx],
+            tlev=data.tlev[idx], tsfc=data.tsfc[idx],
+            sfc_emis=data.sfc_emis[idx], sfc_alb=data.sfc_alb[idx],
+            sza=data.sza[idx], tsi=data.tsi[idx],
+            gas_concs=type(data.gas_concs)({
+                k: (v[idx] if v.ndim == 2 else v)
+                for k, v in data.gas_concs.concs.items()
+            }),
+            nexp=1, nsites=len(idx),
+        )
+        models = [
+            load_model_netcdf(
+                "/root/reference/neural/data/sw-g112-210809_absorption_BEST.nc"),
+            load_model_netcdf(
+                "/root/reference/neural/data/sw-g112-210809_rayleigh_BEST.nc"),
+        ]
+        kd = load_kdist(sw_kdist_file, GASES)
+        spec = sw_spectral_g112()
+        via_kdist = rfmip_clear_sky_sw(data, models, kdist=kd)
+        explicit = rfmip_clear_sky_sw(
+            data, models, solar_source=resolve_solar_source(spec, kd))
+        np.testing.assert_array_equal(
+            np.asarray(via_kdist.flux_dn), np.asarray(explicit.flux_dn))
+        default = rfmip_clear_sky_sw(data, models)
+        assert np.all(np.isfinite(np.asarray(via_kdist.flux_dn)))
+        assert not np.allclose(
+            np.asarray(via_kdist.flux_dn), np.asarray(default.flux_dn))

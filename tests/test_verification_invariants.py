@@ -92,6 +92,14 @@ class TestLWInvariants:
         up1 = np.asarray(jnp.sum(pert.flux_up, -1))
         jac = np.asarray(jnp.sum(base.flux_up_jac, -1))
         np.testing.assert_allclose(up1, up0 + jac, rtol=2e-3)
+        # the down Jacobian is exposed and exactly zero (downwelling can't
+        # see the surface in the no-scat solver; mo_rte_lw.F90:85 accepts
+        # the output but never writes it)
+        assert base.flux_dn_jac is not None
+        assert not np.any(np.asarray(base.flux_dn_jac))
+        dn0 = np.asarray(jnp.sum(base.flux_dn, -1))
+        dn1 = np.asarray(jnp.sum(pert.flux_dn, -1))
+        np.testing.assert_allclose(dn1, dn0, rtol=1e-12)
 
     def test_net_two_ways(self, lw_kd, atmos):
         sol = run_lw(lw_kd, atmos)
