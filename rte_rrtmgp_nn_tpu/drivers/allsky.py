@@ -87,6 +87,116 @@ def _allsky_sw_core(
     return reduce_broadband(sol.flux_up, sol.flux_dn, gpt_flux_dn_dir=sol.flux_dn_dir)
 
 
+def _flip_all(top_at_1, *arrs):
+    return arrs if top_at_1 else tuple(a[:, ::-1] for a in arrs)
+
+
+def _allsky_lw_core_lay_major(
+    models, table, spectral, cloud_co,
+    play, plev, tlay, tlev, tsfc, emis_band, lwp, iwp, rel, rei, concs,
+    top_at_1,
+):
+    """Layer-major all-sky LW core: the cloud absorption tau is expanded
+    band->gpt (one-hot matmul) and folded into the gas tau BEFORE the
+    broadband solve, so the in-scan spectral reduction survives clouds
+    (the generic path re-materializes gpt-resolved incremented props).
+    Numerics identical to _allsky_lw_core (same increment formula:
+    1scl += (1-ssa)*tau is trivial here since as_2str=False already
+    returns absorption tau)."""
+    from ..gasoptics.nn_gas_optics import (
+        compute_nn_inputs,
+        get_col_dry,
+        predict_nn_lw,
+    )
+    from ..gasoptics.planck import compute_planck_source_nn
+    from ..ops.lw_solver import lw_solver_noscat_lay_major
+
+    gas_desc = GasConcs(concs)
+    ncol, nlay = play.shape
+    play, plev, tlay, tlev, lwp, iwp, rel, rei = _flip_all(
+        top_at_1, play, plev, tlay, tlev, lwp, iwp, rel, rei)
+    concs_t = {}
+    for name in gas_desc.concs:
+        full = gas_desc.get_vmr(name, ncol, nlay)
+        if not top_at_1:
+            full = full[:, ::-1]
+        concs_t[name] = full.T
+    gd_t = GasConcs(concs_t)
+
+    col_dry_t = get_col_dry(gd_t.get_vmr("h2o", nlay, ncol).T, plev).T
+    x = compute_nn_inputs(play.T, tlay.T, gd_t, models[0])
+    tau, pfrac = predict_nn_lw(models, x, col_dry_t)
+    lay_src, lev_src, sfc_src, _ = compute_planck_source_nn(
+        pfrac, tlay.T, tlev.T, tsfc, spectral, table,
+        top_at_1=True, lay_axis=0,
+    )
+    cld = cloud_optics(cloud_co, lwp.T, iwp.T, rel.T, rei.T, as_2str=False)
+    tau = tau + spectral.expand(cld.tau)
+    emis = spectral.expand(emis_band)
+    sol = lw_solver_noscat_lay_major(tau, lay_src, lev_src, emis, sfc_src)
+    up, dn = sol.flux_up, sol.flux_dn
+    if not top_at_1:
+        up, dn = up[:, ::-1], dn[:, ::-1]
+    return FluxesBroadband(flux_up=up, flux_dn=dn, flux_net=dn - up)
+
+
+def _allsky_sw_core_lay_major(
+    models, spectral, solar, cloud_co,
+    play, plev, tlay, mu0, sfc_alb_dir, sfc_alb_dif, lwp, iwp, rel, rei,
+    concs,
+    top_at_1,
+):
+    """Layer-major all-sky SW core: delta-scaled cloud 2-stream props are
+    combined with the (g=0) gas props analytically in the g-point domain
+    before the broadband solve (inc_2stream_by_2stream_bybnd,
+    mo_optical_props_kernels.F90:269-305, with tau_gas*0 asymmetry terms
+    dropped). Numerics identical to _allsky_sw_core."""
+    from ..gasoptics.nn_gas_optics import (
+        compute_nn_inputs,
+        get_col_dry,
+        predict_nn_sw,
+    )
+    from ..ops.sw_solver import sw_solver_2stream_lay_major
+
+    gas_desc = GasConcs(concs)
+    ncol, nlay = play.shape
+    play, plev, tlay, lwp, iwp, rel, rei = _flip_all(
+        top_at_1, play, plev, tlay, lwp, iwp, rel, rei)
+    concs_t = {}
+    for name in gas_desc.concs:
+        full = gas_desc.get_vmr(name, ncol, nlay)
+        if not top_at_1:
+            full = full[:, ::-1]
+        concs_t[name] = full.T
+    gd_t = GasConcs(concs_t)
+
+    col_dry_t = get_col_dry(gd_t.get_vmr("h2o", nlay, ncol).T, plev).T
+    x = compute_nn_inputs(play.T, tlay.T, gd_t, models[0])
+    tau, ssa = predict_nn_sw(models, x, col_dry_t)  # gas: g = 0
+
+    cld = cloud_optics(cloud_co, lwp.T, iwp.T, rel.T, rei.T, as_2str=True)
+    cld = delta_scale(cld)
+    eps = jnp.finfo(tau.dtype).eps
+    tau_c = spectral.expand(cld.tau)
+    ssa_c = spectral.expand(cld.ssa)
+    g_c = spectral.expand(cld.g)
+    tau12 = tau + tau_c
+    tauscat12 = tau * ssa + tau_c * ssa_c
+    g12 = (tau_c * ssa_c * g_c) / jnp.maximum(eps, tauscat12)
+    ssa12 = tauscat12 / jnp.maximum(eps, tau12)
+
+    toa_src = jnp.broadcast_to(solar[None, :], (ncol, spectral.ngpt))
+    alb_dir = spectral.expand(sfc_alb_dir)
+    alb_dif = spectral.expand(sfc_alb_dif)
+    sol = sw_solver_2stream_lay_major(
+        tau12, ssa12, g12, mu0, toa_src, alb_dir, alb_dif)
+    up, dn, dn_dir = sol.flux_up, sol.flux_dn, sol.flux_dn_dir
+    if not top_at_1:
+        up, dn, dn_dir = up[:, ::-1], dn[:, ::-1], dn_dir[:, ::-1]
+    return FluxesBroadband(
+        flux_up=up, flux_dn=dn, flux_net=dn - up, flux_dn_dir=dn_dir)
+
+
 def allsky_lw(
     garand_path: str,
     cloud_optics_path: str,
@@ -109,10 +219,17 @@ def allsky_lw(
     tsfc = atm.tlev[:, sfc_lev]
     emis = jnp.full((ncol, spectral.nband), 0.98, dtype)
 
-    fn = jax.jit(functools.partial(
-        _allsky_lw_core, models, table, spectral, co,
-        top_at_1=top_at_1, n_gauss_angles=n_gauss_angles, scan_mode=scan_mode,
-    ))
+    if n_gauss_angles == 1 and scan_mode == "sequential":
+        fn = jax.jit(functools.partial(
+            _allsky_lw_core_lay_major, models, table, spectral, co,
+            top_at_1=top_at_1,
+        ))
+    else:
+        fn = jax.jit(functools.partial(
+            _allsky_lw_core, models, table, spectral, co,
+            top_at_1=top_at_1, n_gauss_angles=n_gauss_angles,
+            scan_mode=scan_mode,
+        ))
     return fn(
         jnp.asarray(atm.play, dtype), jnp.asarray(atm.plev, dtype),
         jnp.asarray(atm.tlay, dtype), jnp.asarray(atm.tlev, dtype),
@@ -149,10 +266,16 @@ def allsky_sw(
     mu0 = jnp.full((ncol,), 0.86, dtype)
     alb = jnp.full((ncol, spectral.nband), 0.06, dtype)
 
-    fn = jax.jit(functools.partial(
-        _allsky_sw_core, models, spectral, solar, co,
-        top_at_1=top_at_1, scan_mode=scan_mode,
-    ))
+    if scan_mode == "sequential":
+        fn = jax.jit(functools.partial(
+            _allsky_sw_core_lay_major, models, spectral, solar, co,
+            top_at_1=top_at_1,
+        ))
+    else:
+        fn = jax.jit(functools.partial(
+            _allsky_sw_core, models, spectral, solar, co,
+            top_at_1=top_at_1, scan_mode=scan_mode,
+        ))
     return fn(
         jnp.asarray(atm.play, dtype), jnp.asarray(atm.plev, dtype),
         jnp.asarray(atm.tlay, dtype), mu0, alb, alb,

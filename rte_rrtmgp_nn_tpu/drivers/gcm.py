@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..drivers.rfmip import _lw_core, default_solar_source
+from ..drivers.rfmip import _lw_core_lay_major, default_solar_source
 from ..drivers.rfmip_io import RFMIPData
 from ..gasoptics.planck import PlanckTable, lw_spectral_g128, sw_spectral_g112
 from ..models.network import NNModel
@@ -87,33 +87,29 @@ def gcm_sweep_allsky(
     gas_names = [k.split(":", 1)[1] for k in host if k.startswith("gas:")]
 
     def step(play, plev, tlay, tlev, tsfc, emis, alb, mu0, lwp, iwp, rel, rei, *gas_vals):
+        # layer-major cores (drivers.allsky): cloud optics folded into the
+        # gas props in the g-point domain before the broadband solves, so
+        # the in-scan spectral reduction survives clouds at GCM scale.
+        from .allsky import _allsky_lw_core_lay_major, _allsky_sw_core_lay_major
+
         nlay = play.shape[1]
         concs = {
             g: (v if v.ndim == 2 else jnp.broadcast_to(v[:, None], (v.shape[0], nlay)))
             for g, v in zip(gas_names, gas_vals)
         }
-        gd = GasConcs(concs)
-        from ..gasoptics.nn_gas_optics import gas_optics_lw_nn, gas_optics_sw_nn
-
-        tau, sources = gas_optics_lw_nn(
-            lw_models, play, plev, tlay, tsfc, gd, lw_spec, table, tlev=tlev,
+        emis_b = jnp.broadcast_to(emis[:, None], (play.shape[0], lw_spec.nband))
+        fb_lw = _allsky_lw_core_lay_major(
+            lw_models, table, lw_spec, cloud_lw,
+            play, plev, tlay, tlev, tsfc, emis_b, lwp, iwp, rel, rei, concs,
             top_at_1=top_at_1,
         )
-        atmos_lw = increment(
-            OpticalProps1scl(tau, lw_spec),
-            cloud_optics(cloud_lw, lwp, iwp, rel, rei, as_2str=False),
+        alb_b = jnp.broadcast_to(alb[:, None], (play.shape[0], sw_spec.nband))
+        fb_sw = _allsky_sw_core_lay_major(
+            sw_models, sw_spec, solar, cloud_sw,
+            play, plev, tlay, mu0, alb_b, alb_b, lwp, iwp, rel, rei, concs,
+            top_at_1=top_at_1,
         )
-        emis_b = jnp.broadcast_to(emis[:, None], (play.shape[0], lw_spec.nband))
-        sol_lw = rte_lw(atmos_lw, top_at_1, sources, emis_b, broadband=True)
-
-        tau_sw, ssa_sw, toa = gas_optics_sw_nn(sw_models, play, plev, tlay, gd, sw_spec, solar)
-        clouds_sw = delta_scale(cloud_optics(cloud_sw, lwp, iwp, rel, rei, as_2str=True))
-        atmos_sw = increment(
-            OpticalProps2str(tau_sw, ssa_sw, jnp.zeros_like(tau_sw), sw_spec), clouds_sw
-        )
-        alb_g = alb[:, None] * jnp.ones_like(toa)
-        sol_sw = rte_sw(atmos_sw, top_at_1, mu0, toa, alb_g, alb_g, broadband=True)
-        return sol_lw.flux_up[:, 0], sol_lw.flux_dn[:, -1], sol_sw.flux_dn[:, -1]
+        return fb_lw.flux_up[:, 0], fb_lw.flux_dn[:, -1], fb_sw.flux_dn[:, -1]
 
     ncol = host["play"].shape[0]
     mu0 = np.clip(np.cos(np.deg2rad(host["sza"])), 0.05, 1.0).astype(np.float32)
@@ -162,9 +158,9 @@ def gcm_sweep_lw(
             for g, v in zip(gas_names, gas_vals)
         }
         emis_b = jnp.broadcast_to(emis[:, None], (play.shape[0], nband))
-        fb = _lw_core(
+        fb = _lw_core_lay_major(
             models, table, spectral, play, plev, tlay, tlev, tsfc, emis_b, concs,
-            top_at_1=top_at_1, n_gauss_angles=1, scan_mode="sequential",
+            top_at_1=top_at_1,
         )
         # stream back only level-0/surface diagnostics to minimize D2H traffic
         return fb.flux_up[:, 0], fb.flux_dn[:, -1]

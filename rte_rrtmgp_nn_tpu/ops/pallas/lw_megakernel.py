@@ -393,7 +393,7 @@ def _mega2_kernel(nlay, ngpt, nband, nf, ntab, tile_c, d_secant, two_pi_w,
                   tau_thresh, t_min, t_delta,
                   ff_ref, tsfc_ref, emis_ref,
                   w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-                  omean_ref, ostd_ref, oh_ref, tp_ref,
+                  omean_ref, ostd_ref, oh_ref, tphi_ref, tplo_ref,
                   up_ref, dn_ref,
                   trans_scr, sdn_scr, sup_scr, dn_acc, up_acc):
     f32 = jnp.float32
@@ -403,24 +403,33 @@ def _mega2_kernel(nlay, ngpt, nband, nf, ntab, tile_c, d_secant, two_pi_w,
     o_top = nf + 2
     o_bot = nf + 3
 
-    tp = tp_ref[:ntab, :]          # (ntab, nband) totplnk
+    tphi = tphi_ref[:, :]          # (ntab, 2*nband) [tp_hi | dtp_hi]
+    tplo = tplo_ref[:, :]          # (ntab, 2*nband) [tp_lo | dtp_lo]
     oh = oh_ref[:, :]              # (nband, ngpt)
 
     def planck_interp(t_col):
-        # linear interpolation as a banded-weight matmul: w[r, k] =
-        # relu(1 - |val0 - k|) has exactly the (1-frac, frac) pair of
-        # PlanckTable.interpolate live for interior temperatures (the only
-        # ones physical inputs produce), and the matmul rides the MXU
-        # instead of per-element gathers (poison in Mosaic).
+        # linear interpolation as exact one-hot row-pick matmuls (MXU
+        # gathers are poison in Mosaic, row-picks are not): the combined
+        # [table | forward-difference] row at i0 in one (hi + lo) matmul
+        # pair -- the hi/lo bf16 split survives the MXU's bf16 input
+        # truncation losslessly, so the lerp below reproduces
+        # PlanckTable.interpolate's f32 arithmetic to ~1 ulp (a plain f32
+        # matmul loses ~0.4% = ~2 W/m2 in flux; Precision.HIGHEST fails to
+        # compile through Mosaic). Edge semantics must also match
+        # reference interpolate1D exactly: index clamped, fraction =
+        # val0 - trunc(val0) UNclamped -- RFMIP TOA levels sit below the
+        # 160 K table floor, where a clamped fraction diverges by
+        # ~0.4 W/m2.
         val0 = (t_col - t_min) / t_delta            # (rows', 1)
-        val0 = jnp.clip(val0, 0.0, float(ntab - 1))
+        tr = jnp.trunc(val0)
+        i0 = jnp.clip(tr, 0.0, float(ntab - 2))
+        frac = val0 - tr
         k = jax.lax.broadcasted_iota(
             jnp.int32, (t_col.shape[0], ntab), 1).astype(f32)
-        w = jnp.maximum(0.0, 1.0 - jnp.abs(val0 - k))
-        # HIGHEST: the fractional weights and table values need full f32
-        # (default MXU bf16 truncation costs ~0.4% in B -> ~2 W/m2 flux)
-        return jnp.dot(w, tp, preferred_element_type=f32,
-                       precision=jax.lax.Precision.HIGHEST)  # (rows', nband)
+        oh0 = (k == i0).astype(f32)                 # exact 0/1
+        g = (jnp.dot(oh0, tphi, preferred_element_type=f32)
+             + jnp.dot(oh0, tplo, preferred_element_type=f32))
+        return g[:, :nband] + frac * g[:, nband:]
 
     # ---- phase A (batched over all rows): MLP + sources -> scratch ------
     ff = ff_ref[:, :, :].reshape(rows, ff_ref.shape[-1])
@@ -532,6 +541,13 @@ def lw_clearsky_mega2(
     f32 = jnp.float32
     tp = jnp.asarray(planck_table.totplnk, f32)
     ntab = tp.shape[0]
+    # combined [table | forward-difference] with hi/lo bf16 split (see
+    # planck_interp in the kernel); dtp zero-padded to ntab rows (row
+    # ntab-1 is never picked: i0 <= ntab-2)
+    dtp = jnp.concatenate([tp[1:] - tp[:-1], jnp.zeros((1, nband), f32)], 0)
+    cat = jnp.concatenate([tp, dtp], axis=1)          # (ntab, 2*nband)
+    cat_hi = cat.astype(jnp.bfloat16).astype(f32)
+    cat_lo = cat - cat_hi
 
     # one lane-packed per-layer input: [x | col_dry | tlay | tlev_t | tlev_b]
     fused = jnp.concatenate(
@@ -586,7 +602,8 @@ def lw_clearsky_mega2(
             rep((1, model.output_mean.shape[0])),
             rep((1, model.output_std.shape[0])),
             rep(one_hot.shape),
-            rep((ntab, nband)),
+            rep((ntab, 2 * nband)),
+            rep((ntab, 2 * nband)),
         ],
         out_specs=(out_bs, out_bs),
         out_shape=(
@@ -606,6 +623,6 @@ def lw_clearsky_mega2(
         w1.astype(f32), row2(b1), w2.astype(f32), row2(b2),
         w3.astype(f32), row2(b3),
         row2(model.output_mean), row2(model.output_std),
-        one_hot.astype(f32), tp,
+        one_hot.astype(f32), cat_hi, cat_lo,
     )
     return up[:ncol], dn[:ncol]

@@ -131,3 +131,35 @@ class TestHeatingRates:
         hr = compute_heating_rate_kday(up, dn, plev)
         # net increases downward here -> positive dnet/dp -> heating
         assert np.all(np.asarray(hr) > 0)
+
+
+class TestLayMajorCoreParity:
+    """The layer-major all-sky cores (default) must reproduce the generic
+    column-major cores (cloud increment folded pre-solve vs increment of
+    materialized props) to f32 accumulation order."""
+
+    def test_lw_cores_match(self):
+        m = [load_model_netcdf(D + "lw-g128-210809_both_BEST.nc")]
+        fast = allsky_lw(G, CLW, m, ncol=12)
+        generic = allsky_lw(G, CLW, m, ncol=12, scan_mode="parallel")
+        np.testing.assert_allclose(
+            np.asarray(fast.flux_dn), np.asarray(generic.flux_dn),
+            rtol=0, atol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(fast.flux_up), np.asarray(generic.flux_up),
+            rtol=0, atol=2e-3)
+
+    def test_sw_cores_match(self):
+        ms = [load_model_netcdf(D + "sw-g112-210809_absorption_BEST.nc"),
+              load_model_netcdf(D + "sw-g112-210809_rayleigh_BEST.nc")]
+        fast = allsky_sw(G, CSW, ms, ncol=12)
+        generic = allsky_sw(G, CSW, ms, ncol=12, scan_mode="parallel")
+        np.testing.assert_allclose(
+            np.asarray(fast.flux_dn), np.asarray(generic.flux_dn),
+            rtol=0, atol=2e-2)
+        np.testing.assert_allclose(
+            np.asarray(fast.flux_up), np.asarray(generic.flux_up),
+            rtol=0, atol=2e-2)
+        np.testing.assert_allclose(
+            np.asarray(fast.flux_dn_dir), np.asarray(generic.flux_dn_dir),
+            rtol=0, atol=2e-2)
