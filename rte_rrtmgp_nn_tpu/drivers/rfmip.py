@@ -292,6 +292,55 @@ def _lw_core_mega2(
     return FluxesBroadband(flux_up=up, flux_dn=dn, flux_net=dn - up)
 
 
+def _lw_core_mega3(
+    models: Sequence[NNModel],
+    planck_table: PlanckTable,
+    spectral: SpectralMapping,
+    play, plev, tlay, tlev, tsfc, sfc_emis_band, concs_dict,
+    top_at_1: bool,
+    tile_c: int = 32,
+):
+    """Fully-fused LW core (ops/pallas/lw_megakernel.lw_clearsky_mega3):
+    lw_prep_pallas's bit-exact phase A (host-interpolated band Planck
+    lanes) + VMEM-resident broadband sweeps, one Pallas kernel from packed
+    features to broadband fluxes."""
+    from ..gasoptics.nn_gas_optics import compute_nn_inputs, get_col_dry
+    from ..ops.pallas.lw_megakernel import lw_clearsky_mega3
+
+    gas_desc = GasConcs(concs_dict)
+    ncol, nlay = play.shape
+
+    if not top_at_1:
+        play, tlay = play[:, ::-1], tlay[:, ::-1]
+        plev, tlev = plev[:, ::-1], tlev[:, ::-1]
+        gas_desc = GasConcs({
+            name: gas_desc.get_vmr(name, ncol, nlay)[:, ::-1]
+            for name in gas_desc.concs
+        })
+
+    col_dry = get_col_dry(gas_desc.get_vmr("h2o", ncol, nlay), plev).T
+    gd_t = GasConcs({
+        name: gas_desc.get_vmr(name, ncol, nlay).T
+        for name in gas_desc.concs
+    })
+    x = compute_nn_inputs(play.T, tlay.T, gd_t, models[0])  # (nlay, ncol, nf)
+    one_hot = jnp.asarray(
+        (spectral.gpt2band[None, :] == np.arange(spectral.nband)[:, None]),
+        x.dtype,
+    )
+    emis = spectral.expand(sfc_emis_band)
+    up, dn = lw_clearsky_mega3(
+        models[0], x, col_dry,
+        planck_table.interpolate(tlay.T),
+        planck_table.interpolate(tlev.T),
+        planck_table.interpolate(tsfc),
+        one_hot, emis, tile_c=tile_c,
+    )
+    if not top_at_1:
+        up, dn = up[:, ::-1], dn[:, ::-1]
+    return FluxesBroadband(flux_up=up, flux_dn=dn, flux_net=dn - up)
+
+
 def _lw_core_prep(
     models: Sequence[NNModel],
     planck_table: PlanckTable,

@@ -133,11 +133,17 @@ def _mega_kernel(nlay, ngpt, nband, nf, d_secant, two_pi_w, tau_thresh,
     up_ref[:, :] = jnp.transpose(up_acc[:, :], (1, 0))
 
 
-def _prep_kernel(nlay, ngpt, nband, nf, tile_c, d_secant, tau_thresh,
-                 fused_ref, pls_ref,
-                 w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-                 omean_ref, ostd_ref, oh_ref,
-                 trans_ref, sdn_ref, sup_ref, sfc_ref):
+def _phase_a_sources(nlay, ngpt, nband, nf, tile_c, d_secant, tau_thresh,
+                     fused_ref, pls_ref,
+                     w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                     omean_ref, ostd_ref, oh_ref):
+    """Shared phase A: batched MLP + transmittance + g-point Planck sources
+    from a lane-packed (nlay, tile_c, [x | col_dry | B_lay | B_lev_top |
+    B_lev_bot]) block, with HOST-interpolated band Planck values (bit-exact
+    vs the staged XLA path; an in-kernel banded-matmul totplnk interp was
+    measured ~2e-3 relative off -- see lw_clearsky_mega2's fate in
+    docs/PERFORMANCE.md). Returns flat (nlay*tile_c, ngpt) trans/src_dn/
+    src_up and the (tile_c, ngpt) surface source."""
     f32 = jnp.float32
     o_lay = nf + 1
     o_top = o_lay + nband
@@ -177,13 +183,27 @@ def _prep_kernel(nlay, ngpt, nband, nf, tile_c, d_secant, tau_thresh,
                               preferred_element_type=f32)
     one_m_t = 1.0 - trans
     two_fact = 2.0 * fact
-    trans_ref[:, :, :] = trans.reshape(nlay, tile_c, ngpt)
-    sdn_ref[:, :, :] = (one_m_t * lev_b + two_fact * (lay - lev_b)).reshape(
-        nlay, tile_c, ngpt)
-    sup_ref[:, :, :] = (one_m_t * lev_t + two_fact * (lay - lev_t)).reshape(
-        nlay, tile_c, ngpt)
-    sfc_ref[:, :] = pf[(nlay - 1) * tile_c:, :] * jnp.dot(
+    src_dn = one_m_t * lev_b + two_fact * (lay - lev_b)
+    src_up = one_m_t * lev_t + two_fact * (lay - lev_t)
+    sfc_src = pf[(nlay - 1) * tile_c:, :] * jnp.dot(
         pls_ref[:, :], oh, preferred_element_type=f32)
+    return trans, src_dn, src_up, sfc_src
+
+
+def _prep_kernel(nlay, ngpt, nband, nf, tile_c, d_secant, tau_thresh,
+                 fused_ref, pls_ref,
+                 w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                 omean_ref, ostd_ref, oh_ref,
+                 trans_ref, sdn_ref, sup_ref, sfc_ref):
+    trans, src_dn, src_up, sfc_src = _phase_a_sources(
+        nlay, ngpt, nband, nf, tile_c, d_secant, tau_thresh,
+        fused_ref, pls_ref,
+        w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+        omean_ref, ostd_ref, oh_ref)
+    trans_ref[:, :, :] = trans.reshape(nlay, tile_c, ngpt)
+    sdn_ref[:, :, :] = src_dn.reshape(nlay, tile_c, ngpt)
+    sup_ref[:, :, :] = src_up.reshape(nlay, tile_c, ngpt)
+    sfc_ref[:, :] = sfc_src
 
 
 def lw_prep_pallas(
@@ -624,5 +644,161 @@ def lw_clearsky_mega2(
         w3.astype(f32), row2(b3),
         row2(model.output_mean), row2(model.output_std),
         one_hot.astype(f32), cat_hi, cat_lo,
+    )
+    return up[:ncol], dn[:ncol]
+
+
+def _mega3_kernel(nlay, ngpt, nband, nf, tile_c, d_secant, two_pi_w,
+                  tau_thresh,
+                  fused_ref, pls_ref, emis_ref,
+                  w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                  omean_ref, ostd_ref, oh_ref,
+                  up_ref, dn_ref,
+                  trans_scr, sdn_scr, sup_scr, dn_acc, up_acc):
+    f32 = jnp.float32
+
+    # ---- phase A (batched over all rows): MLP + sources -> scratch ------
+    trans, src_dn, src_up, sfc_source = _phase_a_sources(
+        nlay, ngpt, nband, nf, tile_c, d_secant, tau_thresh,
+        fused_ref, pls_ref,
+        w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+        omean_ref, ostd_ref, oh_ref)
+    trans_scr[:, :, :] = trans.reshape(nlay, tile_c, ngpt)
+    sdn_scr[:, :, :] = src_dn.reshape(nlay, tile_c, ngpt)
+    sup_scr[:, :, :] = src_up.reshape(nlay, tile_c, ngpt)
+
+    # ---- phase B: top-down sweep (VPU, VMEM-resident) -------------------
+    def down(l, rad):
+        rad = trans_scr[l] * rad + sdn_scr[l]
+        dn_acc[pl.ds(l + 1, 1), :] = (jnp.sum(rad, axis=1) * two_pi_w)[None, :]
+        return rad
+
+    rad = jnp.zeros((tile_c, ngpt), f32)
+    dn_acc[pl.ds(0, 1), :] = jnp.zeros((1, tile_c), f32)
+    rad = jax.lax.fori_loop(0, nlay, down, rad)
+
+    # ---- phase C: surface + bottom-up sweep ------------------------------
+    emis = emis_ref[:, :]
+    rad = rad * (1.0 - emis) + emis * sfc_source
+    up_acc[pl.ds(nlay, 1), :] = (jnp.sum(rad, axis=1) * two_pi_w)[None, :]
+
+    def up(i, rad):
+        l = nlay - 1 - i
+        rad = trans_scr[l] * rad + sup_scr[l]
+        up_acc[pl.ds(l, 1), :] = (jnp.sum(rad, axis=1) * two_pi_w)[None, :]
+        return rad
+
+    jax.lax.fori_loop(0, nlay, up, rad)
+
+    dn_ref[:, :] = jnp.transpose(dn_acc[:, :], (1, 0))
+    up_ref[:, :] = jnp.transpose(up_acc[:, :], (1, 0))
+
+
+def lw_clearsky_mega3(
+    model,
+    nn_inputs,        # (nlay, ncol, nf) scaled features, layer-major
+    col_dry,          # (nlay, ncol)
+    planck_lay_band,  # (nlay, ncol, nband)
+    planck_lev_band,  # (nlay+1, ncol, nband)
+    planck_sfc_band,  # (ncol, nband)
+    one_hot,          # (nband, ngpt)
+    sfc_emis,         # (ncol, ngpt)
+    d_secant: float = 1.66,
+    weight: float = 0.5,
+    tile_c: int = 32,
+    interpret: bool | None = None,
+):
+    """Fully fused LW clear-sky pipeline, v3: lw_prep_pallas's bit-exact
+    phase A (host-interpolated band Planck lanes) + mega2's VMEM-resident
+    broadband sweeps. ONE Pallas kernel from packed features to broadband
+    (ncol, nlay+1) fluxes; tau/pfrac/sources never reach HBM.
+
+    v3 over mega2: the in-kernel banded-matmul totplnk interpolation is
+    dropped -- its bf16 hi/lo split still lost ~2e-3 relative on the MXU
+    (0.39 W/m2 in flux_dn), while the band Planck lanes it saved are only
+    ~19 MB of the ~1.5 GB staged traffic (~0.04 ms at HBM speed). Host
+    interpolation restores bit-exact parity with the staged path at
+    negligible bandwidth cost.
+
+    Physics identical to predict_nn_lw + compute_planck_source_nn +
+    lw_solver_noscat broadband (reference mo_gas_optics_kernels.F90:690-862,
+    615-683; mo_rte_solver_kernels.F90:119-330). Single angle, zero
+    incident flux, f32, 3-layer softsign 'lw_both' model.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nlay, ncol, nf = nn_inputs.shape
+    nband, ngpt = one_hot.shape
+    f32 = jnp.float32
+
+    fused = jnp.concatenate(
+        [
+            nn_inputs.astype(f32),
+            col_dry.astype(f32)[..., None],
+            planck_lay_band.astype(f32),
+            planck_lev_band[:-1].astype(f32),
+            planck_lev_band[1:].astype(f32),
+        ],
+        axis=-1,
+    )
+    nfu = fused.shape[-1]
+    cpad = (-ncol) % tile_c
+    if cpad:
+        fused = jnp.pad(fused, ((0, 0), (0, cpad), (0, 0)))
+        planck_sfc_band = jnp.pad(planck_sfc_band, ((0, cpad), (0, 0)))
+        sfc_emis = jnp.pad(sfc_emis, ((0, cpad), (0, 0)))
+    n = fused.shape[1]
+    grid = (n // tile_c,)
+
+    w1, w2, w3 = model.weights
+    b1, b2, b3 = model.biases
+    row2 = lambda a: jnp.asarray(a, f32).reshape(1, -1)
+    tau_thresh = float(np.sqrt(np.finfo(np.float32).eps))
+    two_pi_w = 2.0 * np.pi * weight
+
+    col2 = lambda d: pl.BlockSpec((tile_c, d), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    rep = lambda shp: pl.BlockSpec(shp, lambda i: (0,) * len(shp),
+                                   memory_space=pltpu.VMEM)
+    out_bs = pl.BlockSpec((tile_c, nlay + 1), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _mega3_kernel, nlay, ngpt, nband, nf, tile_c, d_secant,
+        two_pi_w, tau_thresh,
+    )
+    up, dn = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nlay, tile_c, nfu), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            col2(nband), col2(ngpt),
+            rep(w1.shape), rep((1, b1.shape[0])),
+            rep(w2.shape), rep((1, b2.shape[0])),
+            rep(w3.shape), rep((1, b3.shape[0])),
+            rep((1, model.output_mean.shape[0])),
+            rep((1, model.output_std.shape[0])),
+            rep(one_hot.shape),
+        ],
+        out_specs=(out_bs, out_bs),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, nlay + 1), f32),
+            jax.ShapeDtypeStruct((n, nlay + 1), f32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nlay, tile_c, ngpt), f32),
+            pltpu.VMEM((nlay, tile_c, ngpt), f32),
+            pltpu.VMEM((nlay, tile_c, ngpt), f32),
+            pltpu.VMEM((nlay + 1, tile_c), f32),
+            pltpu.VMEM((nlay + 1, tile_c), f32),
+        ],
+        interpret=interpret,
+    )(
+        fused, planck_sfc_band.astype(f32), sfc_emis.astype(f32),
+        w1.astype(f32), row2(b1), w2.astype(f32), row2(b2),
+        w3.astype(f32), row2(b3),
+        row2(model.output_mean), row2(model.output_std),
+        one_hot.astype(f32),
     )
     return up[:ncol], dn[:ncol]

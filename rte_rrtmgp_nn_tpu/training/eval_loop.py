@@ -9,9 +9,15 @@ scheme each epoch, normalize metrics by the reference scheme's own scores,
 early-stop on the RMS "radiation score" with best-weights restore).
 
 TPU-first: the reference round-trips through a Fortran subprocess writing
-netCDF each epoch; here the full RFMIP evaluation is an in-process jitted
-function over the candidate model pytree -- no serialization, no process
-boundary, and it stays on-device.
+netCDF each epoch; here the full RFMIP flux evaluation is an in-process
+jitted function over the candidate model pytree -- no serialization, no
+process boundary. The heavy part (fluxes, heating rates) runs on-device;
+the 8 scalar reductions in ``eval_metrics`` are host numpy on the pulled
+(ncol, nlev) fluxes -- microseconds of work, and the forcing pairs index
+specific experiments, which a 'col'-sharded psum cannot express without a
+gather. Multi-chip runs reduce flux errors with
+``parallel.shard_ops.weighted_error_stats`` instead
+(tests/test_sharding.py pins the two implementations to each other).
 """
 from __future__ import annotations
 

@@ -1,8 +1,9 @@
 """Benchmark the fused LW megakernel core against the staged lay-major core
 on the current backend (run on the TPU tunnel; see docs/PERFORMANCE.md).
 
-Usage: python scripts/bench_lw_mega.py [--mult N] [--skip-mega] [tile_c ...]
-(default tiles: 64 128 256; --mult replicates the 1800-col RFMIP batch)
+Usage: python scripts/bench_lw_mega.py [--mult N] [--variants a,b,..] [tile_c ...]
+(default tiles: 64 128 256; --mult replicates the 1800-col RFMIP batch;
+variants: staged presrc prep mega mega2 mega3 -- default staged,prep,mega3)
 
 Prints per-variant ms/batch plus a flux parity check vs the staged core.
 """
@@ -23,6 +24,7 @@ def main() -> None:
         _lw_core_lay_major,
         _lw_core_mega,
         _lw_core_mega2,
+        _lw_core_mega3,
         _lw_core_prep,
     )
     from rte_rrtmgp_nn_tpu.drivers.rfmip_io import read_rfmip
@@ -35,8 +37,14 @@ def main() -> None:
         i = argv.index("--mult")
         mult = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
-    skip_mega = "--skip-mega" in argv
-    argv = [a for a in argv if a != "--skip-mega"]
+    variants = ["staged", "prep", "mega3"]
+    if "--variants" in argv:
+        i = argv.index("--variants")
+        variants = argv[i + 1].split(",")
+        argv = argv[:i] + argv[i + 2:]
+    if "--skip-mega" in argv:  # legacy flag
+        argv = [a for a in argv if a != "--skip-mega"]
+        variants = [v for v in variants if v != "mega"]
     tiles = [int(a) for a in argv] or [64, 128, 256]
     dtype = jnp.float32
     data = read_rfmip(
@@ -95,60 +103,37 @@ def main() -> None:
     print(f"staged lay-major (fused): {t_staged*1e3:8.3f} ms  "
           f"mean_dn={float(np.mean(np.asarray(ref.flux_dn))):.4f}", flush=True)
 
-    presrc = jax.jit(functools.partial(
-        _lw_core_lay_major, models, table, spec, top_at_1=data.top_at_1,
-        solver_variant="presrc"))
-    t_p, out_p = timed(presrc)
-    err = float(np.max(np.abs(np.asarray(out_p.flux_dn) - np.asarray(ref.flux_dn))))
-    print(f"staged lay-major (presrc): {t_p*1e3:8.3f} ms  max|d_dn|={err:.2e}",
-          flush=True)
+    if "presrc" in variants:
+        presrc = jax.jit(functools.partial(
+            _lw_core_lay_major, models, table, spec, top_at_1=data.top_at_1,
+            solver_variant="presrc"))
+        t_p, out_p = timed(presrc)
+        err = float(np.max(np.abs(
+            np.asarray(out_p.flux_dn) - np.asarray(ref.flux_dn))))
+        print(f"staged lay-major (presrc): {t_p*1e3:8.3f} ms  "
+              f"max|d_dn|={err:.2e}", flush=True)
 
-    for tc in tiles:
-        prep = jax.jit(functools.partial(
-            _lw_core_prep, models, table, spec, top_at_1=data.top_at_1,
-            tile_c=tc))
-        try:
-            t_prep, out = timed(prep)
-            err_dn = float(np.max(np.abs(
-                np.asarray(out.flux_dn) - np.asarray(ref.flux_dn))))
-            print(f"prep tile_c={tc:4d}: {t_prep*1e3:8.3f} ms  "
-                  f"max|d_dn|={err_dn:.2e}", flush=True)
-        except Exception as e:  # noqa: BLE001
-            print(f"prep tile_c={tc:4d}: FAILED {type(e).__name__}: "
-                  f"{str(e)[:300]}", flush=True)
-
-    for tc in tiles:
-        mega2 = jax.jit(functools.partial(
-            _lw_core_mega2, models, table, spec, top_at_1=data.top_at_1,
-            tile_c=tc))
-        try:
-            t_m2, out = timed(mega2)
-            err_up = float(np.max(np.abs(
-                np.asarray(out.flux_up) - np.asarray(ref.flux_up))))
-            err_dn = float(np.max(np.abs(
-                np.asarray(out.flux_dn) - np.asarray(ref.flux_dn))))
-            print(f"mega2 tile_c={tc:4d}: {t_m2*1e3:8.3f} ms  "
-                  f"max|d_up|={err_up:.2e} max|d_dn|={err_dn:.2e}", flush=True)
-        except Exception as e:  # noqa: BLE001
-            print(f"mega2 tile_c={tc:4d}: FAILED {type(e).__name__}: "
-                  f"{str(e)[:300]}", flush=True)
-
-    for tc in tiles if not skip_mega else []:
-        mega = jax.jit(functools.partial(
-            _lw_core_mega, models, table, spec, top_at_1=data.top_at_1,
-            tile_c=tc))
-        try:
-            t_mega, out = timed(mega)
-        except Exception as e:  # noqa: BLE001
-            print(f"mega tile_c={tc:4d}: FAILED {type(e).__name__}: "
-                  f"{str(e)[:200]}", flush=True)
+    cores = {"prep": _lw_core_prep, "mega": _lw_core_mega,
+             "mega2": _lw_core_mega2, "mega3": _lw_core_mega3}
+    for name in variants:
+        if name in ("staged", "presrc"):
             continue
-        err_up = float(np.max(np.abs(
-            np.asarray(out.flux_up) - np.asarray(ref.flux_up))))
-        err_dn = float(np.max(np.abs(
-            np.asarray(out.flux_dn) - np.asarray(ref.flux_dn))))
-        print(f"mega tile_c={tc:4d}: {t_mega*1e3:8.3f} ms  "
-              f"max|d_up|={err_up:.2e} max|d_dn|={err_dn:.2e}", flush=True)
+        core = cores[name]
+        for tc in tiles:
+            fn = jax.jit(functools.partial(
+                core, models, table, spec, top_at_1=data.top_at_1, tile_c=tc))
+            try:
+                t_v, out = timed(fn)
+                err_up = float(np.max(np.abs(
+                    np.asarray(out.flux_up) - np.asarray(ref.flux_up))))
+                err_dn = float(np.max(np.abs(
+                    np.asarray(out.flux_dn) - np.asarray(ref.flux_dn))))
+                print(f"{name} tile_c={tc:4d}: {t_v*1e3:8.3f} ms  "
+                      f"max|d_up|={err_up:.2e} max|d_dn|={err_dn:.2e}",
+                      flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"{name} tile_c={tc:4d}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:300]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -34,6 +34,10 @@ def main() -> int:
     ap.add_argument("--ref-fluxes", default=None, help="reference flux netCDF (rlu, rld)")
     ap.add_argument("--save-fluxes", default=None, help="write candidate fluxes here")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--figures", default=None, metavar="DIR",
+                    help="write the visual diagnostic figure set (flux/HR "
+                         "error profiles, ml_eval_funcs.py parity) here; "
+                         "requires --ref-fluxes")
     args = ap.parse_args()
 
     if args.cpu:
@@ -74,6 +78,16 @@ def main() -> int:
             up, dn, rlu, rld, np.asarray(data.plev, np.float64), data.nexp,
             top_at_1=data.top_at_1,
         )
+        if args.figures:
+            from rte_rrtmgp_nn_tpu.training.diagnostics import save_eval_figures
+
+            name = os.path.splitext(os.path.basename(args.models[0]))[0]
+            paths = save_eval_figures(
+                args.figures, rlu, rld, up, dn, np.asarray(data.plev),
+                prefix=name,
+            )
+            for p in paths:
+                print(f"figure written to {p}")
 
     # the reference's '--------'-delimited machine-parsable block
     print("--------")

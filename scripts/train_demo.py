@@ -40,7 +40,7 @@ from rte_rrtmgp_nn_tpu.rte import rte_lw
 from rte_rrtmgp_nn_tpu.sources import SourceFuncLW
 from rte_rrtmgp_nn_tpu.training.eval_loop import eval_metrics, train_with_radiation_eval
 from rte_rrtmgp_nn_tpu.training.train import (
-    create_train_state,
+    TrainState,
     init_model,
     make_train_step,
 )
@@ -54,9 +54,15 @@ TEACHER = "/root/reference/neural/data/lw-g128-210809_both_BEST.nc"
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=12)
-    ap.add_argument("--hidden", type=int, default=32)
-    ap.add_argument("--steps-per-epoch", type=int, default=200)
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--hidden", type=int, default=64)
+    ap.add_argument("--steps-per-epoch", type=int, default=400)
+    ap.add_argument("--alpha", type=float, default=0.6,
+                    help="hybrid-loss weight on the paired-experiment "
+                         "expdiff term (0 = pure MSE)")
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--batch-pairs", type=int, default=1024)
+    ap.add_argument("--patience", type=int, default=15)
     ap.add_argument("--out-dir", default=os.path.join(os.path.dirname(__file__), "..", "artifacts"))
     args = ap.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
@@ -87,14 +93,45 @@ def main() -> int:
         input_min=teacher.input_min, input_max=teacher.input_max,
         output_mean=teacher.output_mean, output_std=teacher.output_std,
     )
-    state, optimizer = create_train_state(student, learning_rate=1e-3)
-    train_step = jax.jit(make_train_step(optimizer))
+    import optax
+
+    total_steps = args.epochs * args.steps_per_epoch
+    optimizer = optax.adam(
+        optax.cosine_decay_schedule(args.lr, total_steps, alpha=1e-2))
+    state = TrainState(student, optimizer.init(student), jnp.zeros((), jnp.int32))
+    step_inner = jax.jit(make_train_step(optimizer, alpha=args.alpha))
+
+    # Paired-experiment batches for the expdiff forcing term
+    # (ml_trainfuncs_keras.py:47-67): each batch is [a-rows | b-rows] where
+    # row i and row npairs+i are the SAME (site, layer) under two different
+    # RFMIP experiments -- half drawn from the five experiment pairs the
+    # radiation eval scores (eval_loop._RF_PAIRS_*), half from random
+    # experiment pairs (covers all 18 experiments and generic forcings).
+    npairs = args.batch_pairs
+    pair_idx = jnp.stack(
+        [jnp.arange(npairs), jnp.arange(npairs) + npairs], axis=1)
+
+    def train_step(st, x, y):
+        return step_inner(st, x, y, pair_idx)
+
+    EVAL_PAIRS = np.array([(0, 1), (3, 0), (3, 1), (0, 10), (0, 9)])
+    nexp, nsites = data.nexp, data.nsites
 
     rng = np.random.default_rng(0)
     xs_j, ys_j = jnp.asarray(xs, jnp.float32), jnp.asarray(ys, jnp.float32)
 
     def data_iter():
-        idx = rng.integers(0, xs_j.shape[0], 2048)
+        site = rng.integers(0, nsites, npairs)
+        lay = rng.integers(0, nlay, npairs)
+        n_eval = npairs // 2
+        ab = EVAL_PAIRS[rng.integers(0, len(EVAL_PAIRS), n_eval)]
+        ra = rng.integers(0, nexp, npairs - n_eval)
+        rb = (ra + rng.integers(1, nexp, npairs - n_eval)) % nexp
+        ea = np.concatenate([ab[:, 0], ra])
+        eb = np.concatenate([ab[:, 1], rb])
+        rows_a = (ea * nsites + site) * nlay + lay
+        rows_b = (eb * nsites + site) * nlay + lay
+        idx = np.concatenate([rows_a, rows_b])
         return xs_j[idx], ys_j[idx]
 
     emis = jnp.broadcast_to(jnp.asarray(data.sfc_emis, jnp.float32)[:, None], (ncol, 16))
@@ -123,7 +160,7 @@ def main() -> int:
     result = train_with_radiation_eval(
         state, train_step, data_iter, eval_fn, ref_scores,
         n_epochs=args.epochs, steps_per_epoch=args.steps_per_epoch,
-        patience=max(4, args.epochs), save_path=save_tmpl,
+        patience=args.patience, save_path=save_tmpl,
     )
     print(f"best radiation score {result.best_score:.3f} at epoch {result.best_epoch}")
     m = result.history[result.best_epoch]["metrics"]

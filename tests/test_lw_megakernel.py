@@ -21,7 +21,10 @@ from rte_rrtmgp_nn_tpu.gasoptics.planck import (
 )
 from rte_rrtmgp_nn_tpu.models.network import load_model_netcdf
 from rte_rrtmgp_nn_tpu.ops.lw_solver import lw_solver_noscat
-from rte_rrtmgp_nn_tpu.ops.pallas.lw_megakernel import lw_clearsky_megakernel
+from rte_rrtmgp_nn_tpu.ops.pallas.lw_megakernel import (
+    lw_clearsky_mega3,
+    lw_clearsky_megakernel,
+)
 
 RFMIP = ("/root/reference/examples/rfmip-clear-sky/"
          "multiple_input4MIPs_radiation_RFMIP_UColorado-RFMIP-1-2_none.nc")
@@ -67,3 +70,12 @@ def test_megakernel_matches_staged_pipeline(rfmip_file):
     # absolute agreement at the 1e-3 W/m2 level on ~100-400 W/m2 fluxes
     np.testing.assert_allclose(np.asarray(up), np.asarray(ref.flux_up), atol=2e-3)
     np.testing.assert_allclose(np.asarray(dn), np.asarray(ref.flux_dn), atol=2e-3)
+
+    # mega3: bit-exact phase A (host-interpolated band Planck) + VMEM sweeps
+    up3, dn3 = lw_clearsky_mega3(
+        m, jnp.moveaxis(x, 0, 1), cd.T, table.interpolate(tlay.T),
+        table.interpolate(tlev.T), table.interpolate(tsfc), one_hot, emis,
+        tile_c=8, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(up3), np.asarray(ref.flux_up), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dn3), np.asarray(ref.flux_dn), atol=2e-3)
