@@ -47,6 +47,12 @@ class RTEConfig:
     # the fused XLA scan on TPU at RFMIP scale, but the solver is <2% of
     # the LW pipeline; off by default, flip on for solver-dominated runs.
     use_pallas_lw_solver: bool = False
+    # Use the single-kernel fused pipelines (ops/pallas/lw_megakernel
+    # mega3 / sw_megakernel) in the clear-sky drivers. None = auto: on for
+    # the TPU backend (measured ~10% faster at RFMIP scale, ties at
+    # 57k-column batches -- docs/PERFORMANCE.md roofline section), off
+    # elsewhere (interpret mode is orders of magnitude slower than XLA).
+    use_megakernel: bool | None = None
 
     @property
     def eps(self) -> float:

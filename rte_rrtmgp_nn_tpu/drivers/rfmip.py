@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..config import config
 from ..fluxes import FluxesBroadband
 from ..gas_concs import GasConcs
 from ..gasoptics.nn_gas_optics import gas_optics_lw_nn, gas_optics_sw_nn
@@ -406,16 +407,27 @@ def rfmip_clear_sky_lw(
     """End-to-end LW clear-sky flux computation with NN gas optics
     (reference rrtmgp_rfmip_lw.F90 main loop, :368-446).
 
-    The default single-angle configuration runs the layer-major core
-    (transpose-free scans, ~13% faster on TPU, bit-identical); multi-angle
-    or parallel-scan requests use the general column-major core."""
+    The default single-angle configuration runs the fused mega3 Pallas
+    core on TPU (config.use_megakernel; ~10% faster at RFMIP scale,
+    parity ~1e-4 W/m2) and the staged layer-major core elsewhere;
+    multi-angle or parallel-scan requests use the general column-major
+    core."""
     spectral = spectral or lw_spectral_g128()
     planck_table = planck_table or PlanckTable.compute(spectral.band_lims_wvn_array, dtype=dtype)
 
     sfc_emis_band = jnp.broadcast_to(
         jnp.asarray(data.sfc_emis, dtype)[:, None], (data.ncol, spectral.nband)
     )
-    if n_gauss_angles == 1 and scan_mode == "sequential":
+    use_mega = config.use_megakernel
+    if use_mega is None:
+        use_mega = jax.default_backend() == "tpu"
+    if (n_gauss_angles == 1 and scan_mode == "sequential" and use_mega
+            and len(models) == 1 and dtype == jnp.float32):
+        core = functools.partial(
+            _lw_core_mega3, models, planck_table, spectral,
+            top_at_1=data.top_at_1, tile_c=64,
+        )
+    elif n_gauss_angles == 1 and scan_mode == "sequential":
         core = functools.partial(
             _lw_core_lay_major, models, planck_table, spectral,
             top_at_1=data.top_at_1,
@@ -515,6 +527,61 @@ def _sw_core_lay_major(
     mu0_safe = jnp.where(usecol, mu0, 1.0)
     sol = sw_solver_2stream_lay_major(tau, ssa, g, mu0_safe, toa_src, alb_gpt, alb_gpt)
     up, dn, dn_dir = sol.flux_up, sol.flux_dn, sol.flux_dn_dir
+    if not top_at_1:
+        up, dn, dn_dir = up[:, ::-1], dn[:, ::-1], dn_dir[:, ::-1]
+    mask = usecol[:, None]
+    return FluxesBroadband(
+        flux_up=jnp.where(mask, up, 0.0),
+        flux_dn=jnp.where(mask, dn, 0.0),
+        flux_net=jnp.where(mask, dn - up, 0.0),
+        flux_dn_dir=jnp.where(mask, dn_dir, 0.0),
+    )
+
+
+def _sw_core_mega(
+    models: Sequence[NNModel],
+    spectral: SpectralMapping,
+    solar_source,
+    play, plev, tlay, sfc_alb, mu0, usecol, tsi, concs_dict,
+    top_at_1: bool,
+    tile_c: int = 64,
+):
+    """Fully-fused SW core (ops/pallas/sw_megakernel.sw_clearsky_megakernel):
+    both NN nets, the PIFM two-stream coefficients, the direct beam, and
+    both adding sweeps in one Pallas kernel; only the feature pack and TSI
+    renormalization stay in XLA. Numerics match _sw_core_lay_major to f32
+    accumulation order."""
+    from ..gasoptics.nn_gas_optics import compute_nn_inputs, get_col_dry
+    from ..ops.pallas.sw_megakernel import sw_clearsky_megakernel
+
+    gas_desc = GasConcs(concs_dict)
+    ncol, nlay = play.shape
+
+    if not top_at_1:
+        play, tlay, plev = play[:, ::-1], tlay[:, ::-1], plev[:, ::-1]
+
+    h2o = gas_desc.get_vmr("h2o", ncol, nlay)
+    if not top_at_1:
+        h2o = h2o[:, ::-1]
+    col_dry_t = get_col_dry(h2o, plev).T
+
+    concs_t = {}
+    for name in gas_desc.concs:
+        full = gas_desc.get_vmr(name, ncol, nlay)
+        if not top_at_1:
+            full = full[:, ::-1]
+        concs_t[name] = full.T
+    gd_t = GasConcs(concs_t)
+
+    x = compute_nn_inputs(play.T, tlay.T, gd_t, models[0])
+    toa_src = jnp.broadcast_to(solar_source[None, :], (ncol, spectral.ngpt))
+    toa_src = toa_src * (tsi / jnp.sum(toa_src, axis=-1))[:, None]
+    alb_gpt = sfc_alb[:, None] * jnp.ones_like(toa_src)
+    mu0_safe = jnp.where(usecol, mu0, 1.0)
+    up, dn, dn_dir = sw_clearsky_megakernel(
+        models[0], models[1], x, col_dry_t, mu0_safe,
+        toa_src * mu0_safe[:, None], alb_gpt, alb_gpt, tile_c=tile_c,
+    )
     if not top_at_1:
         up, dn, dn_dir = up[:, ::-1], dn[:, ::-1], dn_dir[:, ::-1]
     mask = usecol[:, None]

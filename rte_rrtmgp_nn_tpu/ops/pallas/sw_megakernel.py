@@ -1,0 +1,288 @@
+"""Single-kernel SW clear-sky pipeline: NN gas optics (absorption +
+Rayleigh nets) + PIFM two-stream + adding, per column tile, VMEM-resident.
+
+The staged lay-major SW core recomputes the two-stream coefficients inside
+BOTH adding sweeps (cheaper than round-tripping them through HBM, ~1.3 ms
+of VPU at 1800 columns) and materializes the direct beam via a separate
+exp-cumsum (~0.6 ms). Inside one kernel the trade changes: coefficients
+are computed ONCE in a batched phase A into VMEM scratch, the direct beam
+is a sequential carry, and both adding sweeps are pure mul-adds. Scratch
+rows are reused across phases (rdir/tdir become the direct-beam sources,
+tau/mu0 becomes the cumulative albedo stack) so the whole pipeline fits in
+five (nlay, tile, ngpt) scratch buffers.
+
+Phasing per grid step (one column tile):
+  A. batched MLPs (abs + rayleigh) -> tau/ssa -> PIFM coefficients
+     (rdif, tdif, rdir, tdir, tau/mu0) in scratch        [MXU + VPU]
+  B. top-down direct beam (cumulative-optical-path carry, one exp per
+     level); rdir/tdir scratch overwritten with the direct-beam sources
+     rdir*dinc / tdir*dinc; per-level broadband direct sums accumulated
+                                                          [VPU]
+  C. surface-to-top albedo/source accumulation emitting the PRE-update
+     carry per layer (alb_below -> tnoscat scratch, src_below -> rdir
+     scratch, both consumed after their last read)       [VPU]
+  D. top-down diffuse flux sweep with in-VMEM broadband reduction [VPU]
+
+Physics identical to ops/sw_solver._sw_2stream_broadband_fused +
+predict_nn_sw (reference mo_rte_solver_kernels.F90:385-692 sw_solver
+two-stream + adding; mo_gas_optics_kernels.F90:869-1018 NN SW nets);
+clear-sky NN path: asymmetry g = 0 (rrtmgp_rfmip_sw.F90:542-569).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...config import config
+from .lw_megakernel import _softsign
+
+
+def _mlp_tau(ff, nf, w1, b1, w2, b2, w3, b3, omean, ostd, col_dry):
+    """One SW net: 3 GEMMs + softsign, (ystd*y+ymean)^8 * col_dry."""
+    f32 = jnp.float32
+    x = ff[:, :nf]
+    h = _softsign(jnp.dot(x, w1[:, :], preferred_element_type=f32) + b1[0, :])
+    h = _softsign(jnp.dot(h, w2[:, :], preferred_element_type=f32) + b2[0, :])
+    y = jnp.dot(h, w3[:, :], preferred_element_type=f32) + b3[0, :]
+    yt = ostd[0, :] * y + omean[0, :]
+    y2 = yt * yt
+    y4 = y2 * y2
+    return (y4 * y4) * col_dry
+
+
+def _sw_mega_kernel(nlay, ngpt, nf, tile_c, k_min, eps,
+                    ff_ref, mu0_ref, incdir_ref, incdif_ref,
+                    albdir_ref, albdif_ref,
+                    wa1, ba1, wa2, ba2, wa3, ba3, oma, osa,
+                    wr1, br1, wr2, br2, wr3, br3, omr, osr,
+                    up_ref, dn_ref, dir_ref,
+                    s_rdif, s_tdif, s_a, s_b, s_c, dn_acc, up_acc, dir_acc):
+    f32 = jnp.float32
+    rows = nlay * tile_c
+
+    # ---- phase A: batched MLPs + PIFM two-stream coefficients ------------
+    ff = ff_ref[:, :, :].reshape(rows, ff_ref.shape[-1])
+    cd = ff[:, nf:nf + 1]
+    tau_abs = _mlp_tau(ff, nf, wa1, ba1, wa2, ba2, wa3, ba3, oma, osa, cd)
+    tau_ray = _mlp_tau(ff, nf, wr1, br1, wr2, br2, wr3, br3, omr, osr, cd)
+    tau = tau_abs + tau_ray
+    tau_safe = jnp.where(tau > 0, tau, 1.0)
+    ssa = jnp.where(tau > 0, tau_ray / tau_safe, 0.0)
+
+    # mu0 per column, broadcast to the (nlay*tile, 1) row layout
+    mu0 = mu0_ref[:, :]                       # (tile_c, 1)
+    mu0b = jnp.broadcast_to(mu0[None, :, :], (nlay, tile_c, 1)).reshape(rows, 1)
+    mu0_inv = 1.0 / mu0b
+
+    # PIFM coefficients with g = 0 (clear-sky NN path): the expressions
+    # keep the general _sw_two_stream_coeffs structure so f32 results match
+    # the staged path (g enters only via folded-constant zero products).
+    gamma1 = (8.0 - ssa * 5.0) * 0.25
+    gamma2 = (3.0 * ssa) * 0.25
+    gamma3 = 0.5
+    gamma4 = 0.5
+    alpha1 = gamma1 * gamma4 + gamma2 * gamma3
+    alpha2 = gamma1 * gamma3 + gamma2 * gamma4
+    k = jnp.sqrt(jnp.maximum((gamma1 - gamma2) * (gamma1 + gamma2), k_min))
+    tnoscat = jnp.exp(-tau * mu0_inv)
+    e1 = jnp.exp(-tau * k)
+    e2 = e1 * e1
+    k2e = 2.0 * k * e1
+    rt_term = 1.0 / (k * (1.0 + e2) + gamma1 * (1.0 - e2))
+    rdif = rt_term * gamma2 * (1.0 - e2)
+    tdif = rt_term * k2e
+    k_mu = k * mu0b
+    k_mu2 = k_mu * k_mu
+    k_g3 = k * gamma3
+    k_g4 = k * gamma4
+    denom = jnp.where(jnp.abs(1.0 - k_mu2) >= eps, 1.0 - k_mu2, eps)
+    rt2 = ssa * rt_term / denom
+    rdir = rt2 * (
+        (1.0 - k_mu) * (alpha2 + k_g3)
+        - (1.0 + k_mu) * (alpha2 - k_g3) * e2
+        - k2e * (gamma3 - alpha2 * mu0b) * tnoscat
+    )
+    tdir = rt2 * (
+        k2e * (gamma4 + alpha1 * mu0b)
+        - tnoscat * ((1.0 + k_mu) * (alpha1 + k_g4)
+                     - (1.0 - k_mu) * (alpha1 - k_g4) * e2)
+    )
+    rdir = jnp.clip(rdir, 0.0, 1.0 - tnoscat)
+    tdir = jnp.clip(tdir, 0.0, 1.0 - tnoscat - rdir)
+
+    s_rdif[:, :, :] = rdif.reshape(nlay, tile_c, ngpt)
+    s_tdif[:, :, :] = tdif.reshape(nlay, tile_c, ngpt)
+    s_a[:, :, :] = rdir.reshape(nlay, tile_c, ngpt)
+    s_b[:, :, :] = tdir.reshape(nlay, tile_c, ngpt)
+    s_c[:, :, :] = (tau * mu0_inv).reshape(nlay, tile_c, ngpt)
+
+    # ---- phase B: direct beam; s_a/s_b become the direct-beam sources ----
+    # The beam is exp(-CUMULATIVE optical path), one exp per level, NOT a
+    # running product of per-layer exp(-tau/mu0): the VPU exp is ~5e-6
+    # accurate with a correlated bias, and 60 multiplied exps compound it
+    # to ~3e-4 relative (0.37 W/m2 at TOA) while the cumulative form
+    # matches the staged exp(-cumsum) path to f32 summation order.
+    inc_dir = incdir_ref[:, :]
+
+    def down_dir(l, path):
+        dinc = inc_dir * jnp.exp(-path)
+        dir_acc[pl.ds(l, 1), :] = jnp.sum(dinc, axis=1)[None, :]
+        s_a[l] = s_a[l] * dinc          # src_up
+        s_b[l] = s_b[l] * dinc          # src_dn
+        return path + s_c[l]
+
+    path = jax.lax.fori_loop(
+        0, nlay, down_dir, jnp.zeros((tile_c, ngpt), f32))
+    dinc = inc_dir * jnp.exp(-path)
+    dir_acc[pl.ds(nlay, 1), :] = jnp.sum(dinc, axis=1)[None, :]
+
+    # ---- phase C: surface-to-top cumulative albedo/source ---------------
+    # emits the PRE-update carry: s_c[l] = alb_below, s_a[l] = src_below
+    # (s_c's tnoscat and s_a's src_up are each read for the last time in
+    # the same iteration that overwrites them)
+    def up_acc_fn(i, carry):
+        alb, src = carry
+        l = nlay - 1 - i
+        d = 1.0 / (1.0 - s_rdif[l] * alb)
+        src_new = s_a[l] + s_tdif[l] * d * (src + alb * s_b[l])
+        alb_new = s_rdif[l] + s_tdif[l] * s_tdif[l] * alb * d
+        s_c[l] = alb
+        s_a[l] = src
+        return alb_new, src_new
+
+    alb_sfc = albdif_ref[:, :]
+    src_sfc = dinc * albdir_ref[:, :]
+    alb_top, src_top = jax.lax.fori_loop(
+        0, nlay, up_acc_fn, (alb_sfc, src_sfc))
+
+    inc_dif = incdif_ref[:, :]
+    dn_acc[pl.ds(0, 1), :] = jnp.sum(inc_dif, axis=1)[None, :]
+    up_acc[pl.ds(0, 1), :] = jnp.sum(
+        inc_dif * alb_top + src_top, axis=1)[None, :]
+
+    # ---- phase D: top-down diffuse flux sweep + broadband reduction ------
+    def down_flux(l, fdn):
+        d = 1.0 / (1.0 - s_rdif[l] * s_c[l])
+        fdn_next = (s_tdif[l] * fdn + s_rdif[l] * s_a[l] + s_b[l]) * d
+        fup = fdn_next * s_c[l] + s_a[l]
+        dn_acc[pl.ds(l + 1, 1), :] = jnp.sum(fdn_next, axis=1)[None, :]
+        up_acc[pl.ds(l + 1, 1), :] = jnp.sum(fup, axis=1)[None, :]
+        return fdn_next
+
+    jax.lax.fori_loop(0, nlay, down_flux, inc_dif)
+
+    dirs = dir_acc[:, :]
+    up_ref[:, :] = jnp.transpose(up_acc[:, :], (1, 0))
+    dn_ref[:, :] = jnp.transpose(dn_acc[:, :] + dirs, (1, 0))
+    dir_ref[:, :] = jnp.transpose(dirs, (1, 0))
+
+
+def sw_clearsky_megakernel(
+    abs_model,
+    ray_model,
+    nn_inputs,        # (nlay, ncol, nf) scaled features, layer-major
+    col_dry,          # (nlay, ncol)
+    mu0,              # (ncol,) cosine of solar zenith (night cols pre-safed)
+    inc_flux_dir,     # (ncol, ngpt) TOA direct spectral flux * mu0
+    sfc_alb_dir,      # (ncol, ngpt)
+    sfc_alb_dif,      # (ncol, ngpt)
+    inc_flux_dif=None,   # (ncol, ngpt) or None
+    tile_c: int = 64,
+    interpret: bool | None = None,
+):
+    """Fully fused SW clear-sky pipeline: packed features in, broadband
+    (ncol, nlay+1) (flux_up, flux_dn_total, flux_dn_dir) out, ONE Pallas
+    kernel. Canonical top-at-0 layer order (flip outside for top_at_1 ==
+    False), f32, two 3-layer softsign nets (abs + rayleigh).
+
+    Numerics match sw_solver_2stream_lay_major(broadband=True) to f32
+    accumulation order; see _sw_mega_kernel for the phase structure.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nlay, ncol, nf = nn_inputs.shape
+    ngpt = abs_model.weights[-1].shape[-1]
+    f32 = jnp.float32
+
+    fused = jnp.concatenate(
+        [nn_inputs.astype(f32), col_dry.astype(f32)[..., None]], axis=-1)
+    nfu = fused.shape[-1]
+    mu0c = mu0.astype(f32)[:, None]
+    if inc_flux_dif is None:
+        inc_flux_dif = jnp.zeros((ncol, ngpt), f32)
+
+    cpad = (-ncol) % tile_c
+    if cpad:
+        pad2 = lambda a: jnp.pad(a, ((0, cpad), (0, 0)))
+        fused = jnp.pad(fused, ((0, 0), (0, cpad), (0, 0)))
+        # padded mu0 = 1 keeps 1/mu0 finite in the dead columns
+        mu0c = jnp.pad(mu0c, ((0, cpad), (0, 0)), constant_values=1.0)
+        inc_flux_dir = pad2(inc_flux_dir)
+        inc_flux_dif = pad2(inc_flux_dif)
+        sfc_alb_dir = pad2(sfc_alb_dir)
+        sfc_alb_dif = pad2(sfc_alb_dif)
+    n = fused.shape[1]
+    grid = (n // tile_c,)
+
+    row2 = lambda a: jnp.asarray(a, f32).reshape(1, -1)
+
+    def net_args(m):
+        w1, w2, w3 = m.weights
+        b1, b2, b3 = m.biases
+        return (w1.astype(f32), row2(b1), w2.astype(f32), row2(b2),
+                w3.astype(f32), row2(b3),
+                row2(m.output_mean), row2(m.output_std))
+
+    rep = lambda shp: pl.BlockSpec(shp, lambda i: (0,) * len(shp),
+                                   memory_space=pltpu.VMEM)
+    col2 = lambda d: pl.BlockSpec((tile_c, d), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    out_bs = pl.BlockSpec((tile_c, nlay + 1), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+
+    def net_specs(m):
+        w1, w2, w3 = m.weights
+        b1, b2, b3 = m.biases
+        return [rep(w1.shape), rep((1, b1.shape[0])),
+                rep(w2.shape), rep((1, b2.shape[0])),
+                rep(w3.shape), rep((1, b3.shape[0])),
+                rep((1, m.output_mean.shape[0])),
+                rep((1, m.output_std.shape[0]))]
+
+    kernel = functools.partial(
+        _sw_mega_kernel, nlay, ngpt, nf, tile_c,
+        float(config.k_min), float(np.finfo(np.float32).eps),
+    )
+    up, dn, dn_dir = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nlay, tile_c, nfu), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            col2(1), col2(ngpt), col2(ngpt), col2(ngpt), col2(ngpt),
+            *net_specs(abs_model), *net_specs(ray_model),
+        ],
+        out_specs=(out_bs, out_bs, out_bs),
+        out_shape=(jax.ShapeDtypeStruct((n, nlay + 1), f32),) * 3,
+        scratch_shapes=[
+            pltpu.VMEM((nlay, tile_c, ngpt), f32),
+            pltpu.VMEM((nlay, tile_c, ngpt), f32),
+            pltpu.VMEM((nlay, tile_c, ngpt), f32),
+            pltpu.VMEM((nlay, tile_c, ngpt), f32),
+            pltpu.VMEM((nlay, tile_c, ngpt), f32),
+            pltpu.VMEM((nlay + 1, tile_c), f32),
+            pltpu.VMEM((nlay + 1, tile_c), f32),
+            pltpu.VMEM((nlay + 1, tile_c), f32),
+        ],
+        interpret=interpret,
+    )(
+        fused, mu0c, inc_flux_dir.astype(f32), inc_flux_dif.astype(f32),
+        sfc_alb_dir.astype(f32), sfc_alb_dif.astype(f32),
+        *net_args(abs_model), *net_args(ray_model),
+    )
+    return up[:ncol], dn[:ncol], dn_dir[:ncol]

@@ -1,0 +1,115 @@
+"""Benchmark the fused SW megakernel core against the staged lay-major core
+on the current backend (run on the TPU tunnel; see docs/PERFORMANCE.md).
+
+Usage: python scripts/bench_sw_mega.py [--mult N] [tile_c ...]
+(default tiles: 32 64; --mult replicates the 1800-col RFMIP batch)
+"""
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from rte_rrtmgp_nn_tpu.drivers.rfmip import (
+        _sw_core_lay_major,
+        _sw_core_mega,
+        resolve_solar_source,
+    )
+    from rte_rrtmgp_nn_tpu.drivers.rfmip_io import read_rfmip
+    from rte_rrtmgp_nn_tpu.gasoptics.planck import sw_spectral_g112
+    from rte_rrtmgp_nn_tpu.models.network import load_model_netcdf
+
+    argv = sys.argv[1:]
+    mult = 1
+    if "--mult" in argv:
+        i = argv.index("--mult")
+        mult = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    tiles = [int(a) for a in argv] or [32, 64]
+    dtype = jnp.float32
+    data = read_rfmip(
+        "/root/reference/examples/rfmip-clear-sky/"
+        "multiple_input4MIPs_radiation_RFMIP_UColorado-RFMIP-1-2_none.nc"
+    )
+    if mult > 1:
+        import dataclasses
+        rep = lambda a: np.concatenate([a] * mult, axis=0)
+        data = dataclasses.replace(
+            data,
+            play=rep(data.play), plev=rep(data.plev), tlay=rep(data.tlay),
+            tlev=rep(data.tlev), tsfc=rep(data.tsfc),
+            sfc_emis=rep(data.sfc_emis), sfc_alb=rep(data.sfc_alb),
+            sza=rep(data.sza), tsi=rep(data.tsi),
+            gas_concs=type(data.gas_concs)({
+                k: (rep(v) if getattr(v, "ndim", 0) == 2 else v)
+                for k, v in data.gas_concs.concs.items()
+            }),
+            nexp=data.nexp * mult,
+        )
+    ncol = data.ncol
+    print(f"ncol = {ncol}", flush=True)
+    models = [
+        load_model_netcdf(
+            "/root/reference/neural/data/sw-g112-210809_absorption_BEST.nc"),
+        load_model_netcdf(
+            "/root/reference/neural/data/sw-g112-210809_rayleigh_BEST.nc"),
+    ]
+    spec = sw_spectral_g112()
+    solar = jnp.asarray(resolve_solar_source(spec), dtype)
+
+    mu0 = np.cos(np.deg2rad(data.sza))
+    usecol = data.sza < 90.0 - 0.5 * np.finfo(np.float32).eps
+    concs = {k: jnp.asarray(v, dtype) for k, v in data.gas_concs.concs.items()}
+    args = (
+        jnp.asarray(data.play, dtype), jnp.asarray(data.plev, dtype),
+        jnp.asarray(data.tlay, dtype), jnp.asarray(data.sfc_alb, dtype),
+        jnp.asarray(mu0, dtype), jnp.asarray(usecol),
+        jnp.asarray(data.tsi, dtype), concs,
+    )
+    args = jax.device_put(args)
+
+    def timed(fn, n_iter=20, reps=3):
+        out = fn(*args)
+        jax.block_until_ready(out)  # compile
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(n_iter):
+                out = fn(*args)
+            jax.block_until_ready(out)
+            best = min(best, (time.perf_counter() - t0) / n_iter)
+        return best, out
+
+    staged = jax.jit(functools.partial(
+        _sw_core_lay_major, models, spec, solar, top_at_1=data.top_at_1))
+    t_staged, ref = timed(staged)
+    print(f"staged lay-major: {t_staged*1e3:8.3f} ms  "
+          f"mean_dn={float(np.mean(np.asarray(ref.flux_dn))):.4f} "
+          f"mean_up={float(np.mean(np.asarray(ref.flux_up))):.4f}", flush=True)
+
+    for tc in tiles:
+        fn = jax.jit(functools.partial(
+            _sw_core_mega, models, spec, solar, top_at_1=data.top_at_1,
+            tile_c=tc))
+        try:
+            t_v, out = timed(fn)
+            err_up = float(np.max(np.abs(
+                np.asarray(out.flux_up) - np.asarray(ref.flux_up))))
+            err_dn = float(np.max(np.abs(
+                np.asarray(out.flux_dn) - np.asarray(ref.flux_dn))))
+            print(f"mega tile_c={tc:4d}: {t_v*1e3:8.3f} ms  "
+                  f"max|d_up|={err_up:.2e} max|d_dn|={err_dn:.2e}", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"mega tile_c={tc:4d}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

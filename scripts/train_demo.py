@@ -63,6 +63,9 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--batch-pairs", type=int, default=1024)
     ap.add_argument("--patience", type=int, default=15)
+    ap.add_argument("--init-from", default=None, metavar="MODEL_NC",
+                    help="warm-start from a previously saved artifact "
+                         "(hidden sizes must match)")
     ap.add_argument("--out-dir", default=os.path.join(os.path.dirname(__file__), "..", "artifacts"))
     args = ap.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
@@ -87,12 +90,18 @@ def main() -> int:
     ref_fb = rfmip_clear_sky_lw(data, [teacher], spectral=spec, planck_table=table)
     ref_up, ref_dn = np.asarray(ref_fb.flux_up), np.asarray(ref_fb.flux_dn)
 
-    student = init_model(
-        [18, args.hidden, args.hidden, 256], jax.random.PRNGKey(0),
-        input_names=teacher.input_names,
-        input_min=teacher.input_min, input_max=teacher.input_max,
-        output_mean=teacher.output_mean, output_std=teacher.output_std,
-    )
+    if args.init_from:
+        student = load_model_netcdf(args.init_from)
+        assert student.weights[0].shape == (18, args.hidden), (
+            f"--init-from hidden size {student.weights[0].shape[1]} != "
+            f"--hidden {args.hidden}")
+    else:
+        student = init_model(
+            [18, args.hidden, args.hidden, 256], jax.random.PRNGKey(0),
+            input_names=teacher.input_names,
+            input_min=teacher.input_min, input_max=teacher.input_max,
+            output_mean=teacher.output_mean, output_std=teacher.output_std,
+        )
     import optax
 
     total_steps = args.epochs * args.steps_per_epoch

@@ -79,3 +79,24 @@ def test_megakernel_matches_staged_pipeline(rfmip_file):
     )
     np.testing.assert_allclose(np.asarray(up3), np.asarray(ref.flux_up), atol=2e-3)
     np.testing.assert_allclose(np.asarray(dn3), np.asarray(ref.flux_dn), atol=2e-3)
+
+
+def test_driver_megakernel_dispatch(rfmip_file):
+    """config.use_megakernel=True routes rfmip_clear_sky_lw through the
+    mega3 core (interpret mode off-TPU) and matches the staged default."""
+    import os
+
+    if not os.path.exists(MODEL):
+        pytest.skip("model not available")
+    from rte_rrtmgp_nn_tpu.config import config_override
+    from rte_rrtmgp_nn_tpu.drivers.rfmip import rfmip_clear_sky_lw
+
+    data = read_rfmip(rfmip_file).block(0, 16)
+    m = [load_model_netcdf(MODEL)]
+    ref = rfmip_clear_sky_lw(data, m)  # staged (auto: off-TPU)
+    with config_override(use_megakernel=True):
+        out = rfmip_clear_sky_lw(data, m)
+    np.testing.assert_allclose(
+        np.asarray(out.flux_dn), np.asarray(ref.flux_dn), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(out.flux_up), np.asarray(ref.flux_up), atol=2e-3)
