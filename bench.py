@@ -24,7 +24,9 @@ def main() -> None:
 
     from rte_rrtmgp_nn_tpu.drivers.rfmip import (
         _lw_core_lay_major,
+        _lw_core_mega3,
         _sw_core_lay_major,
+        _sw_core_mega,
         default_solar_source,
     )
     from rte_rrtmgp_nn_tpu.drivers.rfmip_io import read_rfmip
@@ -55,15 +57,22 @@ def main() -> None:
     table = PlanckTable.compute(lw_spec.band_lims_wvn_array, dtype=dtype)
     solar = jnp.asarray(default_solar_source(sw_spec), dtype)
 
+    # TPU: the fused megakernel cores (docs/PERFORMANCE.md); elsewhere the
+    # staged lay-major cores (Pallas interpret mode would distort timings).
+    if jax.default_backend() == "tpu":
+        lw_core = functools.partial(_lw_core_mega3, tile_c=64)
+        sw_core = functools.partial(_sw_core_mega, tile_c=48)
+    else:
+        lw_core, sw_core = _lw_core_lay_major, _sw_core_lay_major
     lw_fn = jax.jit(
         functools.partial(
-            _lw_core_lay_major, lw_models, table, lw_spec,
+            lw_core, lw_models, table, lw_spec,
             top_at_1=data.top_at_1,
         )
     )
     sw_fn = jax.jit(
         functools.partial(
-            _sw_core_lay_major, sw_models, sw_spec, solar,
+            sw_core, sw_models, sw_spec, solar,
             top_at_1=data.top_at_1,
         )
     )

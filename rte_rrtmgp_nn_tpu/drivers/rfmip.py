@@ -605,7 +605,11 @@ def rfmip_clear_sky_sw(
     """End-to-end SW clear-sky flux computation with NN gas optics
     (reference rrtmgp_rfmip_sw.F90). When a k-distribution carrying NRLSSI2
     solar terms is supplied, the TOA source uses it (resolve_solar_source);
-    otherwise the brightness-temperature approximation."""
+    otherwise the brightness-temperature approximation.
+
+    On TPU the default sequential configuration runs the fused SW
+    megakernel (config.use_megakernel; 27% faster at RFMIP scale, 42% at
+    57k columns -- docs/PERFORMANCE.md)."""
     spectral = spectral or sw_spectral_g112()
     if solar_source is None:
         solar_source = resolve_solar_source(spectral, kdist)
@@ -613,7 +617,15 @@ def rfmip_clear_sky_sw(
     mu0 = np.cos(np.deg2rad(data.sza))
     usecol = data.sza < 90.0 - 0.5 * np.finfo(np.float32).eps  # day columns
 
-    if scan_mode == "sequential":
+    use_mega = config.use_megakernel
+    if use_mega is None:
+        use_mega = jax.default_backend() == "tpu"
+    if scan_mode == "sequential" and use_mega and dtype == jnp.float32:
+        core = functools.partial(
+            _sw_core_mega, models, spectral, jnp.asarray(solar_source, dtype),
+            top_at_1=data.top_at_1, tile_c=48,
+        )
+    elif scan_mode == "sequential":
         core = functools.partial(
             _sw_core_lay_major, models, spectral, jnp.asarray(solar_source, dtype),
             top_at_1=data.top_at_1,

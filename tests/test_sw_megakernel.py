@@ -56,3 +56,22 @@ def test_sw_megakernel_matches_staged(rfmip_file):
         np.testing.assert_allclose(a, b, atol=2e-2, err_msg=name)
     # night columns exactly zero
     np.testing.assert_array_equal(np.asarray(out.flux_dn)[~usecol], 0.0)
+
+
+def test_driver_megakernel_dispatch(rfmip_file):
+    """config.use_megakernel=True routes rfmip_clear_sky_sw through the
+    fused SW core (interpret mode off-TPU) and matches the staged default."""
+    if not (os.path.exists(ABS) and os.path.exists(RAY)):
+        pytest.skip("SW models not available")
+    from rte_rrtmgp_nn_tpu.config import config_override
+    from rte_rrtmgp_nn_tpu.drivers.rfmip import rfmip_clear_sky_sw
+
+    data = read_rfmip(rfmip_file).block(0, 16)
+    models = [load_model_netcdf(ABS), load_model_netcdf(RAY)]
+    ref = rfmip_clear_sky_sw(data, models)  # staged (auto: off-TPU)
+    with config_override(use_megakernel=True):
+        out = rfmip_clear_sky_sw(data, models)
+    np.testing.assert_allclose(
+        np.asarray(out.flux_dn), np.asarray(ref.flux_dn), atol=2e-2)
+    np.testing.assert_allclose(
+        np.asarray(out.flux_up), np.asarray(ref.flux_up), atol=2e-2)
