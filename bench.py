@@ -24,7 +24,7 @@ def main() -> None:
 
     from rte_rrtmgp_nn_tpu.drivers.rfmip import (
         _lw_core_lay_major,
-        _lw_core_mega3,
+        _lw_core_mega4,
         _sw_core_lay_major,
         _sw_core_mega,
         default_solar_source,
@@ -60,7 +60,7 @@ def main() -> None:
     # TPU: the fused megakernel cores (docs/PERFORMANCE.md); elsewhere the
     # staged lay-major cores (Pallas interpret mode would distort timings).
     if jax.default_backend() == "tpu":
-        lw_core = functools.partial(_lw_core_mega3, tile_c=64)
+        lw_core = functools.partial(_lw_core_mega4, tile_c=32)
         sw_core = functools.partial(_sw_core_mega, tile_c=48)
     else:
         lw_core, sw_core = _lw_core_lay_major, _sw_core_lay_major

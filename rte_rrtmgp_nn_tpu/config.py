@@ -48,10 +48,10 @@ class RTEConfig:
     # the LW pipeline; off by default, flip on for solver-dominated runs.
     use_pallas_lw_solver: bool = False
     # Use the single-kernel fused pipelines (ops/pallas/lw_megakernel
-    # mega3 / sw_megakernel) in the clear-sky drivers. None = auto: on for
-    # the TPU backend (measured ~10% faster at RFMIP scale, ties at
-    # 57k-column batches -- docs/PERFORMANCE.md roofline section), off
-    # elsewhere (interpret mode is orders of magnitude slower than XLA).
+    # mega4 / sw_megakernel) in the clear-sky drivers. None = auto: on for
+    # the TPU backend (measured LW 2.7/44.6 ms vs staged 3.7/89.3 at
+    # 1800/57.6k cols, SW 2.65/50.1 vs 3.64/85.9 -- docs/PERFORMANCE.md),
+    # off elsewhere (interpret mode is orders of magnitude slower than XLA).
     use_megakernel: bool | None = None
 
     @property

@@ -191,76 +191,26 @@ def _lw_core_lay_major(
     return FluxesBroadband(flux_up=up, flux_dn=dn, flux_net=dn - up)
 
 
-def _lw_core_mega(
-    models: Sequence[NNModel],
-    planck_table: PlanckTable,
-    spectral: SpectralMapping,
-    play, plev, tlay, tlev, tsfc, sfc_emis_band, concs_dict,
-    top_at_1: bool,
-    tile_c: int = 64,
-):
-    """Fused-megakernel LW core: the whole NN+sources+transport pipeline in
-    one Pallas kernel (ops/pallas/lw_megakernel.py), with only the cheap 2-D
-    prep (feature pack, band-Planck interpolation) staged in XLA, all
-    layer-major to feed the kernel's (nlay, tile, lanes) blocks directly.
-
-    Keeps tau/pfrac/sources in VMEM per column tile -- HBM traffic drops
-    from ~1.5 GB to ~30 MB per 1800-column call. Single Gauss angle,
-    broadband output; numerics match _lw_core to f32 accumulation order.
-    Requires a single combined "lw_both" model.
-    """
-    from ..gasoptics.nn_gas_optics import compute_nn_inputs, get_col_dry
-    from ..ops.pallas.lw_megakernel import lw_clearsky_megakernel
-
-    gas_desc = GasConcs(concs_dict)
-    ncol, nlay = play.shape
-
-    if not top_at_1:
-        play, tlay = play[:, ::-1], tlay[:, ::-1]
-        plev, tlev = plev[:, ::-1], tlev[:, ::-1]
-        gas_desc = GasConcs({
-            name: gas_desc.get_vmr(name, ncol, nlay)[:, ::-1]
-            for name in gas_desc.concs
-        })
-
-    col_dry = get_col_dry(gas_desc.get_vmr("h2o", ncol, nlay), plev).T
-    gd_t = GasConcs({
-        name: gas_desc.get_vmr(name, ncol, nlay).T
-        for name in gas_desc.concs
-    })
-    x = compute_nn_inputs(play.T, tlay.T, gd_t, models[0])  # (nlay, ncol, nf)
-    pl_lay = planck_table.interpolate(tlay.T)     # (nlay, ncol, nband)
-    pl_lev = planck_table.interpolate(tlev.T)     # (nlay+1, ncol, nband)
-    pl_sfc = planck_table.interpolate(tsfc)       # (ncol, nband)
-    one_hot = jnp.asarray(
-        (spectral.gpt2band[None, :] == np.arange(spectral.nband)[:, None]),
-        x.dtype,
-    )
-    emis = spectral.expand(sfc_emis_band)
-    up, dn = lw_clearsky_megakernel(
-        models[0], x, col_dry, pl_lay, pl_lev, pl_sfc, one_hot, emis,
-        tile_c=tile_c,
-    )
-    if not top_at_1:
-        up, dn = up[:, ::-1], dn[:, ::-1]
-    return FluxesBroadband(flux_up=up, flux_dn=dn, flux_net=dn - up)
-
-
-def _lw_core_mega2(
+def _lw_core_mega4(
     models: Sequence[NNModel],
     planck_table: PlanckTable,
     spectral: SpectralMapping,
     play, plev, tlay, tlev, tsfc, sfc_emis_band, concs_dict,
     top_at_1: bool,
     tile_c: int = 32,
+    const_gas_names: tuple = (),
 ):
-    """Fully-fused LW core (ops/pallas/lw_megakernel.lw_clearsky_mega2):
-    the only XLA staging left is the feature pack and a thin (nf+4)-lane
-    concatenate; the MLP, totplnk interpolation, Planck sources, and both
-    broadband sweeps all run inside one Pallas kernel with VMEM-resident
-    intermediates."""
-    from ..gasoptics.nn_gas_optics import compute_nn_inputs, get_col_dry
-    from ..ops.pallas.lw_megakernel import lw_clearsky_mega2
+    """Thin-lane fully-fused LW core (ops/pallas/lw_megakernel.
+    lw_clearsky_mega4): the XLA staging is only the (n2d+4)-lane feature
+    stack + col_dry; Planck interpolation, missing-gas scenario refs, and
+    the whole solve run in-kernel. const_gas_names routes layer-constant
+    gases through a per-tile GEMM instead of lanes -- measured SLOWER and
+    numerically noisier (docs/PERFORMANCE.md), keep it empty."""
+    from ..gasoptics.nn_gas_optics import (
+        compute_nn_inputs_split,
+        get_col_dry,
+    )
+    from ..ops.pallas.lw_megakernel import lw_clearsky_mega4
 
     gas_desc = GasConcs(concs_dict)
     ncol, nlay = play.shape
@@ -274,68 +224,23 @@ def _lw_core_mega2(
         })
 
     col_dry = get_col_dry(gas_desc.get_vmr("h2o", ncol, nlay), plev).T
-    gd_t = GasConcs({
-        name: gas_desc.get_vmr(name, ncol, nlay).T
-        for name in gas_desc.concs
-    })
-    x = compute_nn_inputs(play.T, tlay.T, gd_t, models[0])  # (nlay, ncol, nf)
+    x2d, const_feats, perm = compute_nn_inputs_split(
+        play, tlay, gas_desc, models[0], const_gas_names)
+    n2d = len(x2d)
+    w1 = models[0].weights[0]
+    w1a = w1[np.asarray(perm[:n2d])]
+    if len(perm) > n2d:
+        w1c = w1[np.asarray(perm[n2d:])]
+    else:  # no const features: dummy zero lane + zero weight row
+        w1c = jnp.zeros((1, w1.shape[1]), w1.dtype)
     one_hot = jnp.asarray(
         (spectral.gpt2band[None, :] == np.arange(spectral.nband)[:, None]),
-        x.dtype,
+        x2d[0].dtype,
     )
     emis = spectral.expand(sfc_emis_band)
-    up, dn = lw_clearsky_mega2(
-        models[0], x, col_dry, tlay.T, tlev.T, tsfc, planck_table,
-        one_hot, emis, tile_c=tile_c,
-    )
-    if not top_at_1:
-        up, dn = up[:, ::-1], dn[:, ::-1]
-    return FluxesBroadband(flux_up=up, flux_dn=dn, flux_net=dn - up)
-
-
-def _lw_core_mega3(
-    models: Sequence[NNModel],
-    planck_table: PlanckTable,
-    spectral: SpectralMapping,
-    play, plev, tlay, tlev, tsfc, sfc_emis_band, concs_dict,
-    top_at_1: bool,
-    tile_c: int = 32,
-):
-    """Fully-fused LW core (ops/pallas/lw_megakernel.lw_clearsky_mega3):
-    lw_prep_pallas's bit-exact phase A (host-interpolated band Planck
-    lanes) + VMEM-resident broadband sweeps, one Pallas kernel from packed
-    features to broadband fluxes."""
-    from ..gasoptics.nn_gas_optics import compute_nn_inputs, get_col_dry
-    from ..ops.pallas.lw_megakernel import lw_clearsky_mega3
-
-    gas_desc = GasConcs(concs_dict)
-    ncol, nlay = play.shape
-
-    if not top_at_1:
-        play, tlay = play[:, ::-1], tlay[:, ::-1]
-        plev, tlev = plev[:, ::-1], tlev[:, ::-1]
-        gas_desc = GasConcs({
-            name: gas_desc.get_vmr(name, ncol, nlay)[:, ::-1]
-            for name in gas_desc.concs
-        })
-
-    col_dry = get_col_dry(gas_desc.get_vmr("h2o", ncol, nlay), plev).T
-    gd_t = GasConcs({
-        name: gas_desc.get_vmr(name, ncol, nlay).T
-        for name in gas_desc.concs
-    })
-    x = compute_nn_inputs(play.T, tlay.T, gd_t, models[0])  # (nlay, ncol, nf)
-    one_hot = jnp.asarray(
-        (spectral.gpt2band[None, :] == np.arange(spectral.nband)[:, None]),
-        x.dtype,
-    )
-    emis = spectral.expand(sfc_emis_band)
-    up, dn = lw_clearsky_mega3(
-        models[0], x, col_dry,
-        planck_table.interpolate(tlay.T),
-        planck_table.interpolate(tlev.T),
-        planck_table.interpolate(tsfc),
-        one_hot, emis, tile_c=tile_c,
+    up, dn = lw_clearsky_mega4(
+        models[0], x2d, const_feats, w1a, w1c, col_dry,
+        tlay.T, tlev.T, tsfc, planck_table, one_hot, emis, tile_c=tile_c,
     )
     if not top_at_1:
         up, dn = up[:, ::-1], dn[:, ::-1]
@@ -407,7 +312,7 @@ def rfmip_clear_sky_lw(
     """End-to-end LW clear-sky flux computation with NN gas optics
     (reference rrtmgp_rfmip_lw.F90 main loop, :368-446).
 
-    The default single-angle configuration runs the fused mega3 Pallas
+    The default single-angle configuration runs the fused mega4 Pallas
     core on TPU (config.use_megakernel; ~10% faster at RFMIP scale,
     parity ~1e-4 W/m2) and the staged layer-major core elsewhere;
     multi-angle or parallel-scan requests use the general column-major
@@ -423,9 +328,14 @@ def rfmip_clear_sky_lw(
         use_mega = jax.default_backend() == "tpu"
     if (n_gauss_angles == 1 and scan_mode == "sequential" and use_mega
             and len(models) == 1 and dtype == jnp.float32):
+        # const_gas_names stays empty: routing the layer-constant gases
+        # through a separate per-tile GEMM measured SLOWER (69.5 vs
+        # 44.6 ms at 57.6k cols) and numerically noisier (bf16 grouping)
+        # than carrying them as lanes -- docs/PERFORMANCE.md. Missing
+        # gases (scenario refs) still use the const block.
         core = functools.partial(
-            _lw_core_mega3, models, planck_table, spectral,
-            top_at_1=data.top_at_1, tile_c=64,
+            _lw_core_mega4, models, planck_table, spectral,
+            top_at_1=data.top_at_1, tile_c=32,
         )
     elif n_gauss_angles == 1 and scan_mode == "sequential":
         core = functools.partial(

@@ -105,6 +105,79 @@ def compute_nn_inputs(
     return (x - model.input_min) / (model.input_max - model.input_min)
 
 
+def compute_nn_inputs_split(
+    play: jnp.ndarray,
+    tlay: jnp.ndarray,
+    gas_desc: GasConcs,
+    model: NNModel,
+    const_gas_names: Sequence[str] = (),
+):
+    """compute_nn_inputs factored for the fused megakernels: features that
+    vary per (layer, column) come out as layer-major lanes, features that
+    are constant along the layer axis as one (ncol, nc) block the kernel
+    broadcasts in VMEM -- layer-constant gases (RFMIP's per-experiment
+    global means, scenario-reference fills) never materialize at
+    (nlay, ncol) and never ride HBM per layer.
+
+    play/tlay: (ncol, nlay) raw; const_gas_names: gases the CALLER asserts
+    are layer-constant (checked host-side by the drivers). Returns
+    (lanes2d: list of scaled (nlay, ncol) arrays, const_feats (ncol, nc)
+    scaled, perm) where perm maps [lane order | const order] back to the
+    model's input_names positions -- apply it to the first-layer weight
+    ROWS (w1[perm]) instead of reordering features. Lanes are returned
+    unstacked (each scaled with its own scalar min/max) so the caller's
+    single fused concatenate is the only materialization. Values are
+    bit-identical to compute_nn_inputs (same transform-then-scale
+    expressions).
+    """
+    from ..gas_concs import normalize_gas_name
+
+    ncol, nlay = play.shape
+    cset = {normalize_gas_name(n) for n in const_gas_names}
+    lanes2d, idx2d, consts, idxc = [], [], [], []
+    for i, name in enumerate(model.input_names):
+        if name == "tlay":
+            v = tlay.T
+        elif name == "play":
+            v = jnp.log(play).T
+        elif name in ("h2o", "o3"):
+            v = jnp.sqrt(jnp.sqrt(gas_desc.get_vmr(name, ncol, nlay))).T
+        elif name in gas_desc:
+            if normalize_gas_name(name) in cset:
+                raw = gas_desc.get_raw(name)
+                if raw.ndim == 0:
+                    c = jnp.broadcast_to(raw, (ncol,))
+                elif raw.ndim == 2:
+                    c = raw[:, 0]
+                else:  # per-layer profile can't be layer-constant
+                    raise ValueError(f"{name}: 1-D (per-layer) VMR cannot "
+                                     "be in const_gas_names")
+                consts.append(c.astype(play.dtype))
+                idxc.append(i)
+                continue
+            v = gas_desc.get_vmr(name, ncol, nlay).T
+        else:
+            ref = (0.0 if config.nn_scenario_index == 0
+                   else get_ref_vmr(config.nn_scenario_index, name))
+            consts.append(jnp.full((ncol,), ref, play.dtype))
+            idxc.append(i)
+            continue
+        lanes2d.append(v)
+        idx2d.append(i)
+
+    mn, mx = model.input_min, model.input_max
+    lanes2d = [(v - mn[i]) / (mx[i] - mn[i]) for v, i in zip(lanes2d, idx2d)]
+    if consts:
+        cf = jnp.stack(consts, axis=-1)
+        cf = (cf - mn[jnp.array(idxc)]) / (
+            mx[jnp.array(idxc)] - mn[jnp.array(idxc)])
+    else:
+        # zero-width blocks are illegal in Mosaic: one dummy zero feature
+        # (the matching w1c weight row must be zero-padded by the caller)
+        cf = jnp.zeros((ncol, 1), play.dtype)
+    return lanes2d, cf, idx2d + idxc
+
+
 def predict_tau(model: NNModel, nn_inputs: jnp.ndarray, col_dry: jnp.ndarray) -> jnp.ndarray:
     """Absorption (or Rayleigh) optical depth:
     (ystd*y + ymean)**8 * col_dry (output_sgemm_tau postprocessing)."""

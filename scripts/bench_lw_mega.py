@@ -2,8 +2,8 @@
 on the current backend (run on the TPU tunnel; see docs/PERFORMANCE.md).
 
 Usage: python scripts/bench_lw_mega.py [--mult N] [--variants a,b,..] [tile_c ...]
-(default tiles: 64 128 256; --mult replicates the 1800-col RFMIP batch;
-variants: staged presrc prep mega mega2 mega3 -- default staged,prep,mega3)
+(default tiles: 32; --mult replicates the 1800-col RFMIP batch;
+variants: staged presrc prep mega4 -- default staged,prep,mega4)
 
 Prints per-variant ms/batch plus a flux parity check vs the staged core.
 """
@@ -22,9 +22,7 @@ def main() -> None:
 
     from rte_rrtmgp_nn_tpu.drivers.rfmip import (
         _lw_core_lay_major,
-        _lw_core_mega,
-        _lw_core_mega2,
-        _lw_core_mega3,
+        _lw_core_mega4,
         _lw_core_prep,
     )
     from rte_rrtmgp_nn_tpu.drivers.rfmip_io import read_rfmip
@@ -37,7 +35,7 @@ def main() -> None:
         i = argv.index("--mult")
         mult = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
-    variants = ["staged", "prep", "mega3"]
+    variants = ["staged", "prep", "mega4"]
     if "--variants" in argv:
         i = argv.index("--variants")
         variants = argv[i + 1].split(",")
@@ -45,7 +43,7 @@ def main() -> None:
     if "--skip-mega" in argv:  # legacy flag
         argv = [a for a in argv if a != "--skip-mega"]
         variants = [v for v in variants if v != "mega"]
-    tiles = [int(a) for a in argv] or [64, 128, 256]
+    tiles = [int(a) for a in argv] or [32]
     dtype = jnp.float32
     data = read_rfmip(
         "/root/reference/examples/rfmip-clear-sky/"
@@ -113,8 +111,7 @@ def main() -> None:
         print(f"staged lay-major (presrc): {t_p*1e3:8.3f} ms  "
               f"max|d_dn|={err:.2e}", flush=True)
 
-    cores = {"prep": _lw_core_prep, "mega": _lw_core_mega,
-             "mega2": _lw_core_mega2, "mega3": _lw_core_mega3}
+    cores = {"prep": _lw_core_prep, "mega4": _lw_core_mega4}
     for name in variants:
         if name in ("staged", "presrc"):
             continue

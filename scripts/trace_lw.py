@@ -1,6 +1,6 @@
 """Capture a jax.profiler trace of an LW core on the TPU.
 
-Usage: python scripts/trace_lw.py [prep|lay|presrc] [outdir]
+Usage: python scripts/trace_lw.py [prep|lay|presrc|mega4] [outdir] [mult]
 Then summarize with scripts/trace_summarize.py.
 """
 from __future__ import annotations
@@ -17,6 +17,7 @@ def main() -> None:
 
     from rte_rrtmgp_nn_tpu.drivers.rfmip import (
         _lw_core_lay_major,
+        _lw_core_mega4,
         _lw_core_prep,
     )
     from rte_rrtmgp_nn_tpu.drivers.rfmip_io import read_rfmip
@@ -25,11 +26,27 @@ def main() -> None:
 
     which = sys.argv[1] if len(sys.argv) > 1 else "prep"
     outdir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/lwtrace_{which}"
+    mult = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     dtype = jnp.float32
     data = read_rfmip(
         "/root/reference/examples/rfmip-clear-sky/"
         "multiple_input4MIPs_radiation_RFMIP_UColorado-RFMIP-1-2_none.nc"
     )
+    if mult > 1:
+        import dataclasses
+        rep = lambda a: np.concatenate([a] * mult, axis=0)
+        data = dataclasses.replace(
+            data,
+            play=rep(data.play), plev=rep(data.plev), tlay=rep(data.tlay),
+            tlev=rep(data.tlev), tsfc=rep(data.tsfc),
+            sfc_emis=rep(data.sfc_emis), sfc_alb=rep(data.sfc_alb),
+            sza=rep(data.sza), tsi=rep(data.tsi),
+            gas_concs=type(data.gas_concs)({
+                k: (rep(v) if getattr(v, "ndim", 0) == 2 else v)
+                for k, v in data.gas_concs.concs.items()
+            }),
+            nexp=data.nexp * mult,
+        )
     ncol = data.ncol
     models = [load_model_netcdf(
         "/root/reference/neural/data/lw-g128-210809_both_BEST.nc")]
@@ -48,6 +65,7 @@ def main() -> None:
         "prep": functools.partial(_lw_core_prep, tile_c=32),
         "lay": functools.partial(_lw_core_lay_major, solver_variant="fused"),
         "presrc": functools.partial(_lw_core_lay_major, solver_variant="presrc"),
+        "mega4": functools.partial(_lw_core_mega4, tile_c=32),
     }
     fn = jax.jit(functools.partial(
         cores[which], models, table, spec, top_at_1=data.top_at_1))

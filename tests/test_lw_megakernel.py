@@ -21,10 +21,8 @@ from rte_rrtmgp_nn_tpu.gasoptics.planck import (
 )
 from rte_rrtmgp_nn_tpu.models.network import load_model_netcdf
 from rte_rrtmgp_nn_tpu.ops.lw_solver import lw_solver_noscat
-from rte_rrtmgp_nn_tpu.ops.pallas.lw_megakernel import (
-    lw_clearsky_mega3,
-    lw_clearsky_megakernel,
-)
+from rte_rrtmgp_nn_tpu.ops.lw_solver import lw_broadband_sweeps
+from rte_rrtmgp_nn_tpu.ops.pallas.lw_megakernel import lw_prep_pallas
 
 RFMIP = ("/root/reference/examples/rfmip-clear-sky/"
          "multiple_input4MIPs_radiation_RFMIP_UColorado-RFMIP-1-2_none.nc")
@@ -61,29 +59,53 @@ def test_megakernel_matches_staged_pipeline(rfmip_file):
         (np.asarray(spec.gpt2band)[None, :] == np.arange(spec.nband)[:, None]),
         jnp.float32,
     )
-    up, dn = lw_clearsky_megakernel(
+    # prep kernel (fused phase A) + XLA sweeps
+    trans, src_dn, src_up, sfc_src = lw_prep_pallas(
         m, jnp.moveaxis(x, 0, 1), cd.T, table.interpolate(tlay.T),
-        table.interpolate(tlev.T), table.interpolate(tsfc), one_hot, emis,
+        table.interpolate(tlev.T), table.interpolate(tsfc), one_hot,
         tile_c=8, interpret=True,
     )
+    sol = lw_broadband_sweeps(trans, src_dn, src_up, emis, sfc_src)
     # f32 accumulation order differs (per-layer vs flattened-batch GEMMs):
     # absolute agreement at the 1e-3 W/m2 level on ~100-400 W/m2 fluxes
-    np.testing.assert_allclose(np.asarray(up), np.asarray(ref.flux_up), atol=2e-3)
-    np.testing.assert_allclose(np.asarray(dn), np.asarray(ref.flux_dn), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(sol.flux_up), np.asarray(ref.flux_up), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(sol.flux_dn), np.asarray(ref.flux_dn), atol=2e-3)
 
-    # mega3: bit-exact phase A (host-interpolated band Planck) + VMEM sweeps
-    up3, dn3 = lw_clearsky_mega3(
-        m, jnp.moveaxis(x, 0, 1), cd.T, table.interpolate(tlay.T),
-        table.interpolate(tlev.T), table.interpolate(tsfc), one_hot, emis,
-        tile_c=8, interpret=True,
-    )
-    np.testing.assert_allclose(np.asarray(up3), np.asarray(ref.flux_up), atol=2e-3)
-    np.testing.assert_allclose(np.asarray(dn3), np.asarray(ref.flux_dn), atol=2e-3)
+
+def test_mega4_missing_gas_scenario(rfmip_file):
+    """Missing gases take the scenario-reference const-feature path in the
+    mega4 kernel (the only user of the const block by default) and match
+    the staged core."""
+    import os
+
+    if not os.path.exists(MODEL):
+        pytest.skip("model not available")
+    from rte_rrtmgp_nn_tpu.config import config_override
+    from rte_rrtmgp_nn_tpu.drivers.rfmip import rfmip_clear_sky_lw
+
+    data = read_rfmip(rfmip_file).block(0, 16)
+    concs = dict(data.gas_concs.concs)
+    for g in ("cfc11", "cfc12", "hfc134a"):
+        concs.pop(g)
+    import dataclasses
+
+    data = dataclasses.replace(data, gas_concs=type(data.gas_concs)(concs))
+    m = [load_model_netcdf(MODEL)]
+    with config_override(nn_scenario_index=1):
+        ref = rfmip_clear_sky_lw(data, m)
+        with config_override(use_megakernel=True):
+            out = rfmip_clear_sky_lw(data, m)
+    np.testing.assert_allclose(
+        np.asarray(out.flux_dn), np.asarray(ref.flux_dn), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(out.flux_up), np.asarray(ref.flux_up), atol=2e-3)
 
 
 def test_driver_megakernel_dispatch(rfmip_file):
     """config.use_megakernel=True routes rfmip_clear_sky_lw through the
-    mega3 core (interpret mode off-TPU) and matches the staged default."""
+    mega4 core (interpret mode off-TPU) and matches the staged default."""
     import os
 
     if not os.path.exists(MODEL):
