@@ -382,15 +382,16 @@ def lw_clearsky_mega4(
     d_secant: float = 1.66,
     weight: float = 0.5,
     tile_c: int = 64,
-    unroll: int = 1,
+    unroll: int | None = None,
     interpret: bool | None = None,
 ):
     """Fully fused LW clear-sky pipeline, v4: thin-lane inputs, everything
     else in-kernel. Over mega3 it moves the Planck-table interpolation
     (exact three-term bf16 split, see planck_interp_table) into the
     kernel, so the staged XLA prep drops the three band-Planck interps and
-    shrinks the fused input from 67 lanes to n2d+4 (~22). Measured: 2.72 ms
-    at 1800 cols / 44.6 ms at 57.6k (staged 3.7/89.3, mega3 3.57/89.3) at
+    shrinks the fused input from 67 lanes to n2d+4 (~22). Measured (full
+    sweep unroll, the TPU default): 2.15 ms at 1800 cols / 27.2 ms at 57.6k
+    (unroll=1: 2.72/44.8; staged 3.7/89.3, mega3 3.57/89.3) at
     tile_c=32; tile 48+ exceeds VMEM (the (rows, ntab) one-hot interp
     intermediates scale with the tile).
 
@@ -407,6 +408,13 @@ def lw_clearsky_mega4(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if unroll is None:
+        # Mosaic supports only unroll=1 or full; fully unrolling the two
+        # transport sweeps removes per-iteration loop/index overhead
+        # (measured 44.8->27.2 ms at 57.6k cols, 2.71->2.15 ms at 1800,
+        # bit-exact). Interpret mode keeps 1 (trace bloat on CPU).
+        nlay_u = x2d[0].shape[0] if isinstance(x2d, (list, tuple)) else x2d.shape[0]
+        unroll = 1 if interpret else nlay_u
     nc = const_feats.shape[-1]
     nband, ngpt = one_hot.shape
     f32 = jnp.float32

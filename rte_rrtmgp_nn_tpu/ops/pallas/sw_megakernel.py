@@ -55,7 +55,7 @@ def _mlp_tau(ff, nf, w1, b1, w2, b2, w3, b3, omean, ostd, col_dry):
     return (y4 * y4) * col_dry
 
 
-def _sw_mega_kernel(nlay, ngpt, nf, tile_c, k_min, eps,
+def _sw_mega_kernel(nlay, ngpt, nf, tile_c, k_min, eps, unroll,
                     ff_ref, mu0_ref, incdir_ref, incdif_ref,
                     albdir_ref, albdif_ref,
                     wa1, ba1, wa2, ba2, wa3, ba3, oma, osa,
@@ -137,7 +137,7 @@ def _sw_mega_kernel(nlay, ngpt, nf, tile_c, k_min, eps,
         return path + s_c[l]
 
     path = jax.lax.fori_loop(
-        0, nlay, down_dir, jnp.zeros((tile_c, ngpt), f32))
+        0, nlay, down_dir, jnp.zeros((tile_c, ngpt), f32), unroll=unroll)
     dinc = inc_dir * jnp.exp(-path)
     dir_acc[pl.ds(nlay, 1), :] = jnp.sum(dinc, axis=1)[None, :]
 
@@ -158,7 +158,7 @@ def _sw_mega_kernel(nlay, ngpt, nf, tile_c, k_min, eps,
     alb_sfc = albdif_ref[:, :]
     src_sfc = dinc * albdir_ref[:, :]
     alb_top, src_top = jax.lax.fori_loop(
-        0, nlay, up_acc_fn, (alb_sfc, src_sfc))
+        0, nlay, up_acc_fn, (alb_sfc, src_sfc), unroll=unroll)
 
     inc_dif = incdif_ref[:, :]
     dn_acc[pl.ds(0, 1), :] = jnp.sum(inc_dif, axis=1)[None, :]
@@ -174,7 +174,7 @@ def _sw_mega_kernel(nlay, ngpt, nf, tile_c, k_min, eps,
         up_acc[pl.ds(l + 1, 1), :] = jnp.sum(fup, axis=1)[None, :]
         return fdn_next
 
-    jax.lax.fori_loop(0, nlay, down_flux, inc_dif)
+    jax.lax.fori_loop(0, nlay, down_flux, inc_dif, unroll=unroll)
 
     dirs = dir_acc[:, :]
     up_ref[:, :] = jnp.transpose(up_acc[:, :], (1, 0))
@@ -193,6 +193,7 @@ def sw_clearsky_megakernel(
     sfc_alb_dif,      # (ncol, ngpt)
     inc_flux_dif=None,   # (ncol, ngpt) or None
     tile_c: int = 64,
+    unroll: int | None = None,
     interpret: bool | None = None,
 ):
     """Fully fused SW clear-sky pipeline: packed features in, broadband
@@ -206,6 +207,12 @@ def sw_clearsky_megakernel(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     nlay, ncol, nf = nn_inputs.shape
+    if unroll is None:
+        # Mosaic supports only unroll=1 or full; fully unrolling the three
+        # sweep loops kills per-iteration loop/index overhead (measured
+        # 49.6->39.2 ms at 57.6k cols, 2.77->2.49 ms at 1800, bit-exact).
+        # Interpret mode keeps 1: unrolling just bloats the trace on CPU.
+        unroll = 1 if interpret else nlay
     ngpt = abs_model.weights[-1].shape[-1]
     f32 = jnp.float32
 
@@ -256,7 +263,7 @@ def sw_clearsky_megakernel(
 
     kernel = functools.partial(
         _sw_mega_kernel, nlay, ngpt, nf, tile_c,
-        float(config.k_min), float(np.finfo(np.float32).eps),
+        float(config.k_min), float(np.finfo(np.float32).eps), unroll,
     )
     up, dn, dn_dir = pl.pallas_call(
         kernel,
