@@ -10,10 +10,15 @@ LW 183.4 ms + SW 271.0 ms for 1800 columns -> 3961 columns/s.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Persistent XLA compile cache: fresh jit compiles of the driver cores can
+# exceed 10 minutes through the TPU tunnel; cached reloads take seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 BASELINE_COLS_PER_S = 1800.0 / (0.1834 + 0.2710)  # reference Intel CPU LW+SW
 

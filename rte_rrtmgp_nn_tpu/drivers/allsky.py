@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..config import config
 from ..fluxes import FluxesBroadband, reduce_broadband
 from ..gas_concs import GasConcs
 from ..gasoptics.nn_gas_optics import gas_optics_lw_nn, gas_optics_sw_nn
@@ -197,6 +198,125 @@ def _allsky_sw_core_lay_major(
         flux_up=up, flux_dn=dn, flux_net=dn - up, flux_dn_dir=dn_dir)
 
 
+def canonicalize_allsky_inputs(
+    play, plev, tlay, tlev, lwp, iwp, rel, rei, gas_concs, top_at_1,
+    dtype=np.float32,
+):
+    """Host-side layout canonicalization for the megakernel cores: every
+    (ncol, nlay[+1]) field becomes (nlay[+1], ncol) top-at-0 contiguous
+    numpy, and every gas VMR is materialized to full lay-major 2-D. The
+    flips/transposes run ONCE in numpy so the jitted cores do ZERO layout
+    copies on device (~1 ms of the all-sky device time at 1800 cols)."""
+    def canon(a):
+        a = np.asarray(a, dtype)
+        if not top_at_1:
+            a = a[:, ::-1]
+        return np.ascontiguousarray(a.T)
+
+    ncol, nlay = np.asarray(play).shape
+    fields = tuple(canon(a) for a in (play, plev, tlay, tlev,
+                                      lwp, iwp, rel, rei))
+    concs_t = {
+        name: canon(gas_concs.get_vmr(name, ncol, nlay))
+        for name in gas_concs.concs
+    }
+    return fields, concs_t
+
+
+def _allsky_lw_core_mega(
+    models, table, spectral, cloud_co,
+    play_t, plev_t, tlay_t, tlev_t, tsfc, emis_band,
+    lwp_t, iwp_t, rel_t, rei_t, concs_t,
+    top_at_1, tile_c: int = 32,
+):
+    """All-sky LW through the fused mega4 kernel: the band-resolved cloud
+    absorption tau rides nband extra input lanes and folds into the gas tau
+    in-kernel (lw_clearsky_mega4 cld_tau_band) -- no (nlay, ncol, ngpt)
+    staging at all. Inputs are CANONICAL lay-major top-at-0
+    (canonicalize_allsky_inputs); top_at_1 only flips the output fluxes
+    back to the caller's level order. Numerics match
+    _allsky_lw_core_lay_major (reference rrtmgp_allsky.F90 LW branch)."""
+    import numpy as np
+
+    from ..gasoptics.nn_gas_optics import (
+        compute_nn_inputs_split,
+        get_col_dry_lay_major,
+    )
+    from ..ops.pallas.lw_megakernel import lw_clearsky_mega4
+
+    gas_desc = GasConcs(concs_t)
+    nlay, ncol = play_t.shape
+    col_dry = get_col_dry_lay_major(
+        gas_desc.get_vmr("h2o", nlay, ncol), plev_t)
+    x2d, const_feats, perm = compute_nn_inputs_split(
+        play_t, tlay_t, gas_desc, models[0], (), lay_major=True)
+    n2d = len(x2d)
+    w1 = models[0].weights[0]
+    w1a = w1[np.asarray(perm[:n2d])]
+    w1c = (w1[np.asarray(perm[n2d:])] if len(perm) > n2d
+           else jnp.zeros((1, w1.shape[1]), w1.dtype))
+    one_hot = jnp.asarray(
+        (spectral.gpt2band[None, :] == np.arange(spectral.nband)[:, None]),
+        x2d[0].dtype,
+    )
+    cld = cloud_optics(cloud_co, lwp_t, iwp_t, rel_t, rei_t, as_2str=False)
+    emis = spectral.expand(emis_band)
+    up, dn = lw_clearsky_mega4(
+        models[0], x2d, const_feats, w1a, w1c, col_dry,
+        tlay_t, tlev_t, tsfc, table, one_hot, emis, tile_c=tile_c,
+        cld_tau_band=cld.tau,
+    )
+    if not top_at_1:
+        up, dn = up[:, ::-1], dn[:, ::-1]
+    return FluxesBroadband(flux_up=up, flux_dn=dn, flux_net=dn - up)
+
+
+def _allsky_sw_core_mega(
+    models, spectral, solar, cloud_co,
+    play_t, plev_t, tlay_t, mu0, sfc_alb_dir, sfc_alb_dif,
+    lwp_t, iwp_t, rel_t, rei_t, concs_t,
+    top_at_1, tile_c: int = 32,  # 48 exceeds VMEM with the cloud lanes
+):
+    """All-sky SW through the fused megakernel: the three delta-scaled
+    cloud 2-stream products ride 3*nband extra lanes and combine with the
+    gas props in-kernel (sw_clearsky_megakernel cld_bands). Inputs are
+    CANONICAL lay-major top-at-0 (canonicalize_allsky_inputs). Numerics
+    match _allsky_sw_core_lay_major (rrtmgp_allsky.F90 SW branch)."""
+    import numpy as np
+
+    from ..gasoptics.nn_gas_optics import (
+        compute_nn_inputs,
+        get_col_dry_lay_major,
+    )
+    from ..ops.pallas.sw_megakernel import sw_clearsky_megakernel
+
+    gd_t = GasConcs(concs_t)
+    nlay, ncol = play_t.shape
+    col_dry_t = get_col_dry_lay_major(
+        gd_t.get_vmr("h2o", nlay, ncol), plev_t)
+    x = compute_nn_inputs(play_t, tlay_t, gd_t, models[0])
+
+    cld = cloud_optics(cloud_co, lwp_t, iwp_t, rel_t, rei_t, as_2str=True)
+    cld = delta_scale(cld)
+    tauscat_c = cld.tau * cld.ssa
+    one_hot = jnp.asarray(
+        (spectral.gpt2band[None, :] == np.arange(spectral.nband)[:, None]),
+        x.dtype,
+    )
+    toa_src = jnp.broadcast_to(solar[None, :], (ncol, spectral.ngpt))
+    alb_dir = spectral.expand(sfc_alb_dir)
+    alb_dif = spectral.expand(sfc_alb_dif)
+    up, dn, dn_dir = sw_clearsky_megakernel(
+        models[0], models[1], x, col_dry_t, mu0,
+        toa_src * mu0[:, None], alb_dir, alb_dif, tile_c=tile_c,
+        cld_bands=(cld.tau, tauscat_c, tauscat_c * cld.g), one_hot=one_hot,
+    )
+    if not top_at_1:
+        up, dn, dn_dir = up[:, ::-1], dn[:, ::-1], dn_dir[:, ::-1]
+    return FluxesBroadband(
+        flux_up=up, flux_dn=dn, flux_net=dn - up, flux_dn_dir=dn_dir)
+
+
 def allsky_lw(
     garand_path: str,
     cloud_optics_path: str,
@@ -219,6 +339,24 @@ def allsky_lw(
     tsfc = atm.tlev[:, sfc_lev]
     emis = jnp.full((ncol, spectral.nband), 0.98, dtype)
 
+    use_mega = config.use_megakernel
+    if use_mega is None:
+        use_mega = jax.default_backend() == "tpu"
+    if (n_gauss_angles == 1 and scan_mode == "sequential" and use_mega
+            and dtype == jnp.float32):
+        fields, concs_t = canonicalize_allsky_inputs(
+            atm.play, atm.plev, atm.tlay, atm.tlev, lwp, iwp, rel, rei,
+            atm.gas_concs, top_at_1)
+        fn = jax.jit(functools.partial(
+            _allsky_lw_core_mega, models, table, spectral, co,
+            top_at_1=top_at_1,
+        ))
+        play_t, plev_t, tlay_t, tlev_t, lwp_t, iwp_t, rel_t, rei_t = (
+            jnp.asarray(a, dtype) for a in fields)
+        return fn(play_t, plev_t, tlay_t, tlev_t,
+                  jnp.asarray(tsfc, dtype), emis,
+                  lwp_t, iwp_t, rel_t, rei_t,
+                  {k: jnp.asarray(v, dtype) for k, v in concs_t.items()})
     if n_gauss_angles == 1 and scan_mode == "sequential":
         fn = jax.jit(functools.partial(
             _allsky_lw_core_lay_major, models, table, spectral, co,
@@ -266,6 +404,22 @@ def allsky_sw(
     mu0 = jnp.full((ncol,), 0.86, dtype)
     alb = jnp.full((ncol, spectral.nband), 0.06, dtype)
 
+    use_mega = config.use_megakernel
+    if use_mega is None:
+        use_mega = jax.default_backend() == "tpu"
+    if scan_mode == "sequential" and use_mega and dtype == jnp.float32:
+        fields, concs_t = canonicalize_allsky_inputs(
+            atm.play, atm.plev, atm.tlay, atm.tlay, lwp, iwp, rel, rei,
+            atm.gas_concs, top_at_1)
+        fn = jax.jit(functools.partial(
+            _allsky_sw_core_mega, models, spectral, solar, co,
+            top_at_1=top_at_1,
+        ))
+        play_t, plev_t, tlay_t, _, lwp_t, iwp_t, rel_t, rei_t = (
+            jnp.asarray(a, dtype) for a in fields)
+        return fn(play_t, plev_t, tlay_t, mu0, alb, alb,
+                  lwp_t, iwp_t, rel_t, rei_t,
+                  {k: jnp.asarray(v, dtype) for k, v in concs_t.items()})
     if scan_mode == "sequential":
         fn = jax.jit(functools.partial(
             _allsky_sw_core_lay_major, models, spectral, solar, co,

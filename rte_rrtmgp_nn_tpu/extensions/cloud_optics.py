@@ -148,22 +148,53 @@ def load_cloud_optics(path: str, dtype=jnp.float32) -> CloudOptics:
 
 def _from_table(mask, wp_, re, offset, upr, ext_t, ssa_t, asy_t):
     """Linear LUT interpolation in effective radius; tables (nband, nsize).
-    Returns tau, tau*ssa, tau*ssa*g with band as the minor axis."""
-    nsteps = ext_t.shape[-1]
+    Returns tau, tau*ssa, tau*ssa*g with band as the minor axis.
+
+    f32 path: ONE exact one-hot row-pick matmul against the combined
+    [ext|ssa|asy | forward diffs] table (3-term bf16 split, same trick as
+    lw_megakernel.planck_interp_table) instead of 12 dynamic row gathers --
+    the gathers cost more device time than the entire clear-sky megakernel
+    (2.6/3.3 ms LW/SW at 1800 cols vs 0.25 ms for the matmul form; TPU
+    gathers on the minor axis are poison, see docs/PERFORMANCE.md).
+    Bit-exact vs the gather form: the 0/1 one-hot and the bf16-split table
+    terms survive MXU truncation, and the f32 lerp val + fint*diff keeps
+    the gather path's grouping lo + fint*(hi - lo)."""
+    nband, nsteps = ext_t.shape
+    dtype = jnp.result_type(re.dtype, ext_t.dtype)
     step_size = (upr - offset) / (nsteps - 1)
     fidx = (re - offset) / step_size
     index = jnp.clip(jnp.floor(fidx).astype(jnp.int32), 0, nsteps - 2)
     fint = (fidx - index)[..., None]  # (ncol, nlay, 1)
-
-    def interp(tbl):
-        lo = tbl.T[index]  # (ncol, nlay, nband)
-        hi = tbl.T[index + 1]
-        return lo + fint * (hi - lo)
-
     m = mask[..., None]
-    t = jnp.where(m, wp_[..., None] * interp(ext_t), 0.0)
-    ts = t * interp(ssa_t)
-    tsg = ts * interp(asy_t)
+
+    if dtype == jnp.float32:
+        cat = jnp.concatenate([ext_t.T, ssa_t.T, asy_t.T], axis=1)
+        dcat = jnp.concatenate(
+            [cat[1:] - cat[:-1], jnp.zeros((1, cat.shape[1]), cat.dtype)], 0)
+        cat2 = jnp.concatenate([cat, dcat], axis=1)  # (nsteps, 6*nband)
+        hi = cat2.astype(jnp.bfloat16).astype(dtype)
+        r1 = cat2 - hi
+        mid = r1.astype(jnp.bfloat16).astype(dtype)
+        lo = r1 - mid
+        k = jax.lax.broadcasted_iota(
+            jnp.int32, (*re.shape, nsteps), re.ndim)
+        oh = (k == index[..., None]).astype(dtype)
+        g = (jnp.dot(oh, hi) + jnp.dot(oh, mid)) + jnp.dot(oh, lo)
+        vals = g[..., :3 * nband] + fint * g[..., 3 * nband:]
+        e_v = vals[..., :nband]
+        s_v = vals[..., nband:2 * nband]
+        a_v = vals[..., 2 * nband:]
+    else:  # f64 (CPU validation): exact gathers, no bf16 split possible
+        def interp(tbl):
+            lo_ = tbl.T[index]  # (ncol, nlay, nband)
+            hi_ = tbl.T[index + 1]
+            return lo_ + fint * (hi_ - lo_)
+
+        e_v, s_v, a_v = interp(ext_t), interp(ssa_t), interp(asy_t)
+
+    t = jnp.where(m, wp_[..., None] * e_v, 0.0)
+    ts = t * s_v
+    tsg = ts * a_v
     return t, jnp.where(m, ts, 0.0), jnp.where(m, tsg, 0.0)
 
 

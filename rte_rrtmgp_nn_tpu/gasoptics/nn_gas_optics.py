@@ -56,6 +56,20 @@ def get_col_dry(vmr_h2o: jnp.ndarray, plev: jnp.ndarray, latitude: Optional[jnp.
     )
 
 
+def get_col_dry_lay_major(vmr_h2o_t: jnp.ndarray, plev_t: jnp.ndarray) -> jnp.ndarray:
+    """get_col_dry on layer-major inputs: vmr_h2o_t (nlay, ncol), plev_t
+    (nlay+1, ncol) -> (nlay, ncol). Same expressions, no transposes (for
+    the megakernel cores whose whole input stack is lay-major)."""
+    g0 = constants.grav
+    delta_plev = jnp.abs(plev_t[:-1] - plev_t[1:])
+    fact = 1.0 / (1.0 + vmr_h2o_t)
+    m_air = (constants.m_dry + constants.m_h2o * vmr_h2o_t) * fact
+    return (
+        10.0 * delta_plev * constants.avogad * fact
+        / (1000.0 * m_air * 100.0 * g0)
+    )
+
+
 def interp_tlev(tlay: jnp.ndarray, play: jnp.ndarray, plev: jnp.ndarray) -> jnp.ndarray:
     """Pressure-weighted interpolation of layer temperatures to levels,
     with linear extrapolation at the boundaries (reference
@@ -111,6 +125,7 @@ def compute_nn_inputs_split(
     gas_desc: GasConcs,
     model: NNModel,
     const_gas_names: Sequence[str] = (),
+    lay_major: bool = False,
 ):
     """compute_nn_inputs factored for the fused megakernels: features that
     vary per (layer, column) come out as layer-major lanes, features that
@@ -129,33 +144,53 @@ def compute_nn_inputs_split(
     single fused concatenate is the only materialization. Values are
     bit-identical to compute_nn_inputs (same transform-then-scale
     expressions).
+
+    lay_major=True: play/tlay and every 2-D gas VMR are ALREADY
+    (nlay, ncol) -- no transposes are emitted at all (the canonical-layout
+    megakernel driver path, where layout work happens host-side).
     """
     from ..gas_concs import normalize_gas_name
 
-    ncol, nlay = play.shape
+    if lay_major:
+        nlay, ncol = play.shape
+        d0, d1 = nlay, ncol
+        T = lambda v: v
+    else:
+        ncol, nlay = play.shape
+        d0, d1 = ncol, nlay
+        T = lambda v: v.T
     cset = {normalize_gas_name(n) for n in const_gas_names}
+
+    def vmr(name):
+        raw = gas_desc.get_raw(name)
+        if lay_major and raw.ndim == 1:
+            # 1-D VMRs are per-LAYER profiles; get_vmr broadcasts them
+            # along the last axis, which in lay-major is columns
+            return jnp.broadcast_to(raw[:, None], (nlay, ncol))
+        return gas_desc.get_vmr(name, d0, d1)
+
     lanes2d, idx2d, consts, idxc = [], [], [], []
     for i, name in enumerate(model.input_names):
         if name == "tlay":
-            v = tlay.T
+            v = T(tlay)
         elif name == "play":
-            v = jnp.log(play).T
+            v = T(jnp.log(play))
         elif name in ("h2o", "o3"):
-            v = jnp.sqrt(jnp.sqrt(gas_desc.get_vmr(name, ncol, nlay))).T
+            v = T(jnp.sqrt(jnp.sqrt(vmr(name))))
         elif name in gas_desc:
             if normalize_gas_name(name) in cset:
                 raw = gas_desc.get_raw(name)
                 if raw.ndim == 0:
                     c = jnp.broadcast_to(raw, (ncol,))
                 elif raw.ndim == 2:
-                    c = raw[:, 0]
+                    c = raw[0] if lay_major else raw[:, 0]
                 else:  # per-layer profile can't be layer-constant
                     raise ValueError(f"{name}: 1-D (per-layer) VMR cannot "
                                      "be in const_gas_names")
                 consts.append(c.astype(play.dtype))
                 idxc.append(i)
                 continue
-            v = gas_desc.get_vmr(name, ncol, nlay).T
+            v = T(vmr(name))
         else:
             ref = (0.0 if config.nn_scenario_index == 0
                    else get_ref_vmr(config.nn_scenario_index, name))

@@ -248,6 +248,22 @@ def planck_interp_table(totplnk):
     return hi, mid, lo
 
 
+def _dot3split(x, oh):
+    """Exact one-hot band->gpt expansion on the MXU: the f32 operand is
+    split into three bf16-representable terms (hi + mid + lo == x exactly)
+    so the truncating MXU dot against the 0/1 one-hot reproduces the f32
+    gather to <=1 ulp (same trick as planck_interp_table, but for RUNTIME
+    data instead of a constant table)."""
+    f32 = jnp.float32
+    hi = x.astype(jnp.bfloat16).astype(f32)
+    r = x - hi
+    mid = r.astype(jnp.bfloat16).astype(f32)
+    lo = r - mid
+    return (jnp.dot(hi, oh, preferred_element_type=f32)
+            + jnp.dot(mid, oh, preferred_element_type=f32)
+            + jnp.dot(lo, oh, preferred_element_type=f32))
+
+
 def _planck_interp3(t_col, tp_hi, tp_mid, tp_lo, ntab, nband, t_min, t_delta):
     """Exact in-kernel totplnk lerp (see planck_interp_table). Edge
     semantics match reference interpolate1D (index clamped, fraction
@@ -266,7 +282,7 @@ def _planck_interp3(t_col, tp_hi, tp_mid, tp_lo, ntab, nband, t_min, t_delta):
     return g[:, :nband] + frac * g[:, nband:]
 
 
-def _mega4_kernel(nlay, ngpt, nband, n2d, nc, ntab, tile_c, d_secant,
+def _mega4_kernel(nlay, ngpt, nband, n2d, nc, ntab, n_cld, tile_c, d_secant,
                   two_pi_w, tau_thresh, t_min, t_delta, unroll,
                   fused_ref, const_ref, tsfc_ref, emis_ref,
                   w1a_ref, w1c_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
@@ -307,7 +323,15 @@ def _mega4_kernel(nlay, ngpt, nband, n2d, nc, ntab, tile_c, d_secant,
     yt = ostd_ref[0, :ngpt] * y[:, :ngpt] + omean_ref[0, :ngpt]
     y2 = yt * yt
     y4 = y2 * y2
-    tl = (y4 * y4) * ff[:, o_cd:o_cd + 1] * d_secant
+    if n_cld:
+        # all-sky: fold the band-resolved cloud absorption tau into the gas
+        # tau BEFORE the diffusivity scaling (same grouping as the staged
+        # all-sky core: (tau_gas + expand(tau_cld)) * D)
+        o_cld = o_bot + 1
+        tau_cld = _dot3split(ff[:, o_cld:o_cld + n_cld], oh)
+        tl = ((y4 * y4) * ff[:, o_cd:o_cd + 1] + tau_cld) * d_secant
+    else:
+        tl = (y4 * y4) * ff[:, o_cd:o_cd + 1] * d_secant
     pf = y[:, ngpt:2 * ngpt]
     pf = pf * pf
 
@@ -384,6 +408,7 @@ def lw_clearsky_mega4(
     tile_c: int = 64,
     unroll: int | None = None,
     interpret: bool | None = None,
+    cld_tau_band=None,  # (nlay, ncol, nband) cloud absorption tau, or None
 ):
     """Fully fused LW clear-sky pipeline, v4: thin-lane inputs, everything
     else in-kernel. Over mega3 it moves the Planck-table interpolation
@@ -405,6 +430,14 @@ def lw_clearsky_mega4(
     lw_solver_noscat broadband (reference mo_gas_optics_kernels.F90:690-862,
     615-683; mo_rte_solver_kernels.F90:119-330). Single angle, zero
     incident flux, f32, 3-layer softsign 'lw_both' model.
+
+    cld_tau_band turns the kernel into the ALL-SKY LW pipeline: the
+    band-resolved cloud absorption tau rides nband extra input lanes and is
+    expanded band->gpt in-kernel by an exact 3-term-split one-hot matmul
+    (_dot3split), then folded into the gas tau before the transport --
+    equivalent to increment(OpticalProps1scl) + lw_solver_noscat (reference
+    mo_optical_props_kernels.F90 increment_1scalar_by_1scalar_bybnd +
+    rrtmgp_allsky.F90 LW branch) with no (nlay, ncol, ngpt) HBM staging.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -424,23 +457,29 @@ def lw_clearsky_mega4(
     if isinstance(x2d, (list, tuple)):
         n2d = len(x2d)
         nlay, ncol = x2d[0].shape
-        fused = jnp.stack(
-            [*(l.astype(f32) for l in x2d), col_dry.astype(f32),
-             tlay.astype(f32), tlev[:-1].astype(f32), tlev[1:].astype(f32)],
-            axis=-1,
-        )
+        parts = [
+            *(l.astype(f32)[..., None] for l in x2d),
+            col_dry.astype(f32)[..., None],
+            tlay.astype(f32)[..., None],
+            tlev[:-1].astype(f32)[..., None],
+            tlev[1:].astype(f32)[..., None],
+        ]
     else:
         nlay, ncol, n2d = x2d.shape
-        fused = jnp.concatenate(
-            [
-                x2d.astype(f32),
-                col_dry.astype(f32)[..., None],
-                tlay.astype(f32)[..., None],
-                tlev[:-1].astype(f32)[..., None],
-                tlev[1:].astype(f32)[..., None],
-            ],
-            axis=-1,
-        )
+        parts = [
+            x2d.astype(f32),
+            col_dry.astype(f32)[..., None],
+            tlay.astype(f32)[..., None],
+            tlev[:-1].astype(f32)[..., None],
+            tlev[1:].astype(f32)[..., None],
+        ]
+    n_cld = 0
+    if cld_tau_band is not None:
+        n_cld = cld_tau_band.shape[-1]
+        parts.append(cld_tau_band.astype(f32))
+    # ONE concatenate: a second concat would materialize the whole fused
+    # block twice (0.6 ms of the LW all-sky staging at 1800 cols)
+    fused = jnp.concatenate(parts, axis=-1)
     nfu = fused.shape[-1]
     const_feats = const_feats.astype(f32)
     tsfc2 = tsfc.astype(f32)[:, None]
@@ -468,8 +507,8 @@ def lw_clearsky_mega4(
                           memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
-        _mega4_kernel, nlay, ngpt, nband, n2d, nc, ntab, tile_c, d_secant,
-        two_pi_w, tau_thresh,
+        _mega4_kernel, nlay, ngpt, nband, n2d, nc, ntab, n_cld, tile_c,
+        d_secant, two_pi_w, tau_thresh,
         float(planck_table.temp_ref_min), float(planck_table.totplnk_delta),
         unroll,
     )

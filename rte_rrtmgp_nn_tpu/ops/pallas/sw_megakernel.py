@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...config import config
-from .lw_megakernel import _softsign
+from .lw_megakernel import _dot3split, _softsign
 
 
 def _mlp_tau(ff, nf, w1, b1, w2, b2, w3, b3, omean, ostd, col_dry):
@@ -55,9 +55,9 @@ def _mlp_tau(ff, nf, w1, b1, w2, b2, w3, b3, omean, ostd, col_dry):
     return (y4 * y4) * col_dry
 
 
-def _sw_mega_kernel(nlay, ngpt, nf, tile_c, k_min, eps, unroll,
+def _sw_mega_kernel(nlay, ngpt, nf, n_cld, tile_c, k_min, eps, unroll,
                     ff_ref, mu0_ref, incdir_ref, incdif_ref,
-                    albdir_ref, albdif_ref,
+                    albdir_ref, albdif_ref, oh_ref,
                     wa1, ba1, wa2, ba2, wa3, ba3, oma, osa,
                     wr1, br1, wr2, br2, wr3, br3, omr, osr,
                     up_ref, dn_ref, dir_ref,
@@ -70,22 +70,47 @@ def _sw_mega_kernel(nlay, ngpt, nf, tile_c, k_min, eps, unroll,
     cd = ff[:, nf:nf + 1]
     tau_abs = _mlp_tau(ff, nf, wa1, ba1, wa2, ba2, wa3, ba3, oma, osa, cd)
     tau_ray = _mlp_tau(ff, nf, wr1, br1, wr2, br2, wr3, br3, omr, osr, cd)
-    tau = tau_abs + tau_ray
-    tau_safe = jnp.where(tau > 0, tau, 1.0)
-    ssa = jnp.where(tau > 0, tau_ray / tau_safe, 0.0)
+    tau_gas = tau_abs + tau_ray
+    tau_safe = jnp.where(tau_gas > 0, tau_gas, 1.0)
+    ssa_gas = jnp.where(tau_gas > 0, tau_ray / tau_safe, 0.0)
+    if n_cld:
+        # all-sky: delta-scaled cloud 2-stream props ride 3*nband lanes
+        # (tau_c, tau_c*ssa_c, tau_c*ssa_c*g_c) and combine with the (g=0)
+        # gas props in the g-point domain, exactly as the staged all-sky
+        # core (inc_2stream_by_2stream_bybnd,
+        # mo_optical_props_kernels.F90:269-305 with zero gas asymmetry)
+        oh = oh_ref[:, :]
+        o_c = nf + 1
+        tc = _dot3split(ff[:, o_c:o_c + n_cld], oh)
+        tsc = _dot3split(ff[:, o_c + n_cld:o_c + 2 * n_cld], oh)
+        tgc = _dot3split(ff[:, o_c + 2 * n_cld:o_c + 3 * n_cld], oh)
+        tau = tau_gas + tc
+        tauscat = tau_gas * ssa_gas + tsc
+        g = tgc / jnp.maximum(eps, tauscat)
+        ssa = tauscat / jnp.maximum(eps, tau)
+    else:
+        tau = tau_gas
+        ssa = ssa_gas
 
     # mu0 per column, broadcast to the (nlay*tile, 1) row layout
     mu0 = mu0_ref[:, :]                       # (tile_c, 1)
     mu0b = jnp.broadcast_to(mu0[None, :, :], (nlay, tile_c, 1)).reshape(rows, 1)
     mu0_inv = 1.0 / mu0b
 
-    # PIFM coefficients with g = 0 (clear-sky NN path): the expressions
-    # keep the general _sw_two_stream_coeffs structure so f32 results match
-    # the staged path (g enters only via folded-constant zero products).
-    gamma1 = (8.0 - ssa * 5.0) * 0.25
-    gamma2 = (3.0 * ssa) * 0.25
-    gamma3 = 0.5
-    gamma4 = 0.5
+    # PIFM coefficients (general g when clouds are present; the g = 0
+    # clear-sky specialization keeps the _sw_two_stream_coeffs structure so
+    # f32 results match the staged path -- g enters only via
+    # folded-constant zero products).
+    if n_cld:
+        gamma1 = (8.0 - ssa * (5.0 + 3.0 * g)) * 0.25
+        gamma2 = 3.0 * (ssa * (1.0 - g)) * 0.25
+        gamma3 = (2.0 - 3.0 * mu0b * g) * 0.25
+        gamma4 = 1.0 - gamma3
+    else:
+        gamma1 = (8.0 - ssa * 5.0) * 0.25
+        gamma2 = (3.0 * ssa) * 0.25
+        gamma3 = 0.5
+        gamma4 = 0.5
     alpha1 = gamma1 * gamma4 + gamma2 * gamma3
     alpha2 = gamma1 * gamma3 + gamma2 * gamma4
     k = jnp.sqrt(jnp.maximum((gamma1 - gamma2) * (gamma1 + gamma2), k_min))
@@ -195,14 +220,25 @@ def sw_clearsky_megakernel(
     tile_c: int = 64,
     unroll: int | None = None,
     interpret: bool | None = None,
+    cld_bands=None,   # (tau_c, tau_c*ssa_c, tau_c*ssa_c*g_c) each
+                      #   (nlay, ncol, nband) DELTA-SCALED, or None
+    one_hot=None,     # (nband, ngpt) band->gpt map, required with cld_bands
 ):
-    """Fully fused SW clear-sky pipeline: packed features in, broadband
+    """Fully fused SW pipeline: packed features in, broadband
     (ncol, nlay+1) (flux_up, flux_dn_total, flux_dn_dir) out, ONE Pallas
     kernel. Canonical top-at-0 layer order (flip outside for top_at_1 ==
     False), f32, two 3-layer softsign nets (abs + rayleigh).
 
     Numerics match sw_solver_2stream_lay_major(broadband=True) to f32
     accumulation order; see _sw_mega_kernel for the phase structure.
+
+    cld_bands turns the kernel into the ALL-SKY SW pipeline: the three
+    delta-scaled cloud 2-stream products ride 3*nband extra input lanes,
+    are expanded band->gpt in-kernel (exact 3-term-split one-hot matmuls)
+    and combined with the gas props before the general-asymmetry PIFM
+    coefficients -- equivalent to delta_scale + increment(OpticalProps2str)
+    + sw_solver_2stream (reference rrtmgp_allsky.F90 SW branch) with no
+    (nlay, ncol, ngpt) HBM staging.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -216,8 +252,15 @@ def sw_clearsky_megakernel(
     ngpt = abs_model.weights[-1].shape[-1]
     f32 = jnp.float32
 
-    fused = jnp.concatenate(
-        [nn_inputs.astype(f32), col_dry.astype(f32)[..., None]], axis=-1)
+    parts = [nn_inputs.astype(f32), col_dry.astype(f32)[..., None]]
+    n_cld = 0
+    if cld_bands is not None:
+        n_cld = cld_bands[0].shape[-1]
+        parts += [c.astype(f32) for c in cld_bands]
+        one_hot = jnp.asarray(one_hot, f32)
+    else:
+        one_hot = jnp.zeros((1, ngpt), f32)  # unused placeholder block
+    fused = jnp.concatenate(parts, axis=-1)  # ONE concat (see lw mega4)
     nfu = fused.shape[-1]
     mu0c = mu0.astype(f32)[:, None]
     if inc_flux_dif is None:
@@ -262,7 +305,7 @@ def sw_clearsky_megakernel(
                 rep((1, m.output_std.shape[0]))]
 
     kernel = functools.partial(
-        _sw_mega_kernel, nlay, ngpt, nf, tile_c,
+        _sw_mega_kernel, nlay, ngpt, nf, n_cld, tile_c,
         float(config.k_min), float(np.finfo(np.float32).eps), unroll,
     )
     up, dn, dn_dir = pl.pallas_call(
@@ -272,6 +315,7 @@ def sw_clearsky_megakernel(
             pl.BlockSpec((nlay, tile_c, nfu), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             col2(1), col2(ngpt), col2(ngpt), col2(ngpt), col2(ngpt),
+            rep(one_hot.shape),
             *net_specs(abs_model), *net_specs(ray_model),
         ],
         out_specs=(out_bs, out_bs, out_bs),
@@ -289,7 +333,7 @@ def sw_clearsky_megakernel(
         interpret=interpret,
     )(
         fused, mu0c, inc_flux_dir.astype(f32), inc_flux_dif.astype(f32),
-        sfc_alb_dir.astype(f32), sfc_alb_dif.astype(f32),
+        sfc_alb_dir.astype(f32), sfc_alb_dif.astype(f32), one_hot,
         *net_args(abs_model), *net_args(ray_model),
     )
     return up[:ncol], dn[:ncol], dn_dir[:ncol]

@@ -20,6 +20,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# Persistent XLA compile cache (see bench.py): tunnel compiles are slow.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
 REF = "/root/reference"
 GARAND = os.path.join(REF, "examples/all-sky/garand-atmos-1.nc")
 LW_COEFFS = os.path.join(
@@ -31,6 +34,9 @@ SW_COEFFS = os.path.join(
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ncol", type=int, default=1800)
+    ap.add_argument("--core", choices=["auto", "mega", "staged"],
+                    default="auto",
+                    help="auto = megakernel cores on TPU, staged elsewhere")
     args = ap.parse_args()
 
     import jax
@@ -38,7 +44,10 @@ def main() -> int:
 
     from rte_rrtmgp_nn_tpu.drivers.allsky import (
         _allsky_lw_core_lay_major,
+        _allsky_lw_core_mega,
         _allsky_sw_core_lay_major,
+        _allsky_sw_core_mega,
+        canonicalize_allsky_inputs,
         load_cloud_optics_checked,
         make_clouds,
     )
@@ -71,28 +80,46 @@ def main() -> int:
     top_at_1 = bool(atm.play[0, 0] < atm.play[0, -1])
     sfc_lev = -1 if top_at_1 else 0
 
-    concs = {k: jnp.asarray(v, dtype) for k, v in atm.gas_concs.concs.items()}
-    cloud_args = tuple(jnp.asarray(a, dtype) for a in (lwp, iwp, rel, rei))
-    lw_args = jax.device_put((
-        jnp.asarray(atm.play, dtype), jnp.asarray(atm.plev, dtype),
-        jnp.asarray(atm.tlay, dtype), jnp.asarray(atm.tlev, dtype),
-        jnp.asarray(atm.tlev[:, sfc_lev], dtype),
-        jnp.full((ncol, lw_spec.nband), 0.98, dtype),
-        *cloud_args, concs,
-    ))
-    alb = jnp.full((ncol, sw_spec.nband), 0.06, dtype)
-    sw_args = jax.device_put((
-        jnp.asarray(atm.play, dtype), jnp.asarray(atm.plev, dtype),
-        jnp.asarray(atm.tlay, dtype), jnp.full((ncol,), 0.86, dtype),
-        alb, alb, *cloud_args, concs,
-    ))
+    use_mega = (jax.default_backend() == "tpu" if args.core == "auto"
+                else args.core == "mega")
 
+    tsfc = jnp.asarray(atm.tlev[:, sfc_lev], dtype)
+    emis = jnp.full((ncol, lw_spec.nband), 0.98, dtype)
+    alb = jnp.full((ncol, sw_spec.nband), 0.06, dtype)
+    mu0 = jnp.full((ncol,), 0.86, dtype)
+    if use_mega:  # canonical lay-major inputs (layout work stays host-side)
+        fields, concs_t = canonicalize_allsky_inputs(
+            atm.play, atm.plev, atm.tlay, atm.tlev, lwp, iwp, rel, rei,
+            atm.gas_concs, top_at_1)
+        play_t, plev_t, tlay_t, tlev_t, lwp_t, iwp_t, rel_t, rei_t = (
+            jnp.asarray(a, dtype) for a in fields)
+        concs = {k: jnp.asarray(v, dtype) for k, v in concs_t.items()}
+        lw_args = jax.device_put((
+            play_t, plev_t, tlay_t, tlev_t, tsfc, emis,
+            lwp_t, iwp_t, rel_t, rei_t, concs))
+        sw_args = jax.device_put((
+            play_t, plev_t, tlay_t, mu0, alb, alb,
+            lwp_t, iwp_t, rel_t, rei_t, concs))
+    else:
+        concs = {k: jnp.asarray(v, dtype)
+                 for k, v in atm.gas_concs.concs.items()}
+        cloud_args = tuple(jnp.asarray(a, dtype) for a in (lwp, iwp, rel, rei))
+        lw_args = jax.device_put((
+            jnp.asarray(atm.play, dtype), jnp.asarray(atm.plev, dtype),
+            jnp.asarray(atm.tlay, dtype), jnp.asarray(atm.tlev, dtype),
+            tsfc, emis, *cloud_args, concs,
+        ))
+        sw_args = jax.device_put((
+            jnp.asarray(atm.play, dtype), jnp.asarray(atm.plev, dtype),
+            jnp.asarray(atm.tlay, dtype), mu0,
+            alb, alb, *cloud_args, concs,
+        ))
+    lw_core = _allsky_lw_core_mega if use_mega else _allsky_lw_core_lay_major
+    sw_core = _allsky_sw_core_mega if use_mega else _allsky_sw_core_lay_major
     lw_fn = jax.jit(functools.partial(
-        _allsky_lw_core_lay_major, lw_models, table, lw_spec, co_lw,
-        top_at_1=top_at_1))
+        lw_core, lw_models, table, lw_spec, co_lw, top_at_1=top_at_1))
     sw_fn = jax.jit(functools.partial(
-        _allsky_sw_core_lay_major, sw_models, sw_spec, solar, co_sw,
-        top_at_1=top_at_1))
+        sw_core, sw_models, sw_spec, solar, co_sw, top_at_1=top_at_1))
 
     flw = lw_fn(*lw_args)
     fsw = sw_fn(*sw_args)
@@ -115,6 +142,7 @@ def main() -> int:
         "value": round(ncol / (t_lw + t_sw), 1),
         "unit": "columns/s",
         "ncol": ncol,
+        "core": "mega" if use_mega else "staged",
         "lw_ms": round(t_lw * 1e3, 3),
         "sw_ms": round(t_sw * 1e3, 3),
         "lw_mean_dn": round(float(np.mean(np.asarray(flw.flux_dn))), 3),

@@ -1,0 +1,164 @@
+"""All-sky megakernel parity: the fused Pallas cores with in-kernel cloud
+band->gpt expansion (lw_clearsky_mega4 cld_tau_band, sw_clearsky_megakernel
+cld_bands) vs the staged lay-major all-sky cores, on the real Garand
+atmosphere + shipped cloud-optics coefficients (interpret mode on CPU)."""
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rte_rrtmgp_nn_tpu.config import config_override
+from rte_rrtmgp_nn_tpu.drivers.allsky import (
+    _allsky_lw_core_lay_major,
+    _allsky_lw_core_mega,
+    _allsky_sw_core_lay_major,
+    _allsky_sw_core_mega,
+    allsky_lw,
+    allsky_sw,
+    canonicalize_allsky_inputs,
+    load_cloud_optics_checked,
+    make_clouds,
+)
+from rte_rrtmgp_nn_tpu.drivers.allsky_io import read_garand
+from rte_rrtmgp_nn_tpu.gasoptics.planck import (
+    PlanckTable,
+    lw_spectral_g128,
+    sw_spectral_g112,
+)
+from rte_rrtmgp_nn_tpu.drivers.rfmip import default_solar_source
+from rte_rrtmgp_nn_tpu.models.network import load_model_netcdf
+
+D = "/root/reference/neural/data/"
+G = "/root/reference/examples/all-sky/garand-atmos-1.nc"
+CLW = "/root/reference/extensions/cloud_optics/rrtmgp-cloud-optics-coeffs-lw.nc"
+CSW = "/root/reference/extensions/cloud_optics/rrtmgp-cloud-optics-coeffs-sw.nc"
+NCOL = 48
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(G) and os.path.exists(CLW)),
+    reason="all-sky data not available",
+)
+
+
+@pytest.fixture(scope="module")
+def garand():
+    return read_garand(G, NCOL)
+
+
+def _common(atm, co):
+    lwp, iwp, rel, rei = make_clouds(atm.play, atm.tlay, co)
+    top_at_1 = bool(atm.play[0, 0] < atm.play[0, -1])
+    f32 = jnp.float32
+    args = dict(
+        play=jnp.asarray(atm.play, f32), plev=jnp.asarray(atm.plev, f32),
+        tlay=jnp.asarray(atm.tlay, f32),
+        lwp=jnp.asarray(lwp, f32), iwp=jnp.asarray(iwp, f32),
+        rel=jnp.asarray(rel, f32), rei=jnp.asarray(rei, f32),
+        concs={k: jnp.asarray(v, f32) for k, v in atm.gas_concs.concs.items()},
+    )
+    fields, concs_t = canonicalize_allsky_inputs(
+        atm.play, atm.plev, atm.tlay, atm.tlev, lwp, iwp, rel, rei,
+        atm.gas_concs, top_at_1)
+    play_t, plev_t, tlay_t, tlev_t, lwp_t, iwp_t, rel_t, rei_t = (
+        jnp.asarray(a, f32) for a in fields)
+    canon = dict(
+        play_t=play_t, plev_t=plev_t, tlay_t=tlay_t, tlev_t=tlev_t,
+        lwp_t=lwp_t, iwp_t=iwp_t, rel_t=rel_t, rei_t=rei_t,
+        concs_t={k: jnp.asarray(v, f32) for k, v in concs_t.items()},
+    )
+    return args, canon, top_at_1
+
+
+class TestLWAllSkyMega:
+    def test_matches_lay_major(self, garand):
+        spectral = lw_spectral_g128()
+        co = load_cloud_optics_checked(CLW)
+        table = PlanckTable.compute(spectral.band_lims_wvn_array)
+        models = [load_model_netcdf(D + "lw-g128-210809_both_BEST.nc")]
+        args, canon, top_at_1 = _common(garand, co)
+        sfc_lev = -1 if top_at_1 else 0
+        tsfc = jnp.asarray(garand.tlev[:, sfc_lev], jnp.float32)
+        emis = jnp.full((NCOL, spectral.nband), 0.98, jnp.float32)
+        kw = dict(args)
+        kw.update(tlev=jnp.asarray(garand.tlev, jnp.float32),
+                  tsfc=tsfc, emis_band=emis)
+        kwm = dict(canon)
+        kwm.update(tsfc=tsfc, emis_band=emis)
+
+        ref = _allsky_lw_core_lay_major(
+            models, table, spectral, co, top_at_1=top_at_1, **kw)
+        got = _allsky_lw_core_mega(
+            models, table, spectral, co, top_at_1=top_at_1, **kwm)
+
+        np.testing.assert_allclose(
+            np.asarray(got.flux_dn), np.asarray(ref.flux_dn),
+            rtol=2e-6, atol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(got.flux_up), np.asarray(ref.flux_up),
+            rtol=2e-6, atol=5e-3)
+        # clouds actually matter in this comparison: zero-cloud run differs
+        kw0 = dict(kwm)
+        z = jnp.zeros_like(kwm["lwp_t"])
+        kw0.update(lwp_t=z, iwp_t=z, rel_t=z, rei_t=z)
+        clear = _allsky_lw_core_mega(
+            models, table, spectral, co, top_at_1=top_at_1, **kw0)
+        assert float(jnp.max(jnp.abs(clear.flux_dn - got.flux_dn))) > 1.0
+
+    def test_public_api_dispatch(self, garand):
+        models = [load_model_netcdf(D + "lw-g128-210809_both_BEST.nc")]
+        with config_override(use_megakernel=True):
+            fb_mega = allsky_lw(G, CLW, models, ncol=NCOL)
+        with config_override(use_megakernel=False):
+            fb_ref = allsky_lw(G, CLW, models, ncol=NCOL)
+        np.testing.assert_allclose(
+            np.asarray(fb_mega.flux_dn), np.asarray(fb_ref.flux_dn),
+            rtol=2e-6, atol=5e-3)
+
+
+class TestSWAllSkyMega:
+    def test_matches_lay_major(self, garand):
+        spectral = sw_spectral_g112()
+        co = load_cloud_optics_checked(CSW)
+        models = [
+            load_model_netcdf(D + "sw-g112-210809_absorption_BEST.nc"),
+            load_model_netcdf(D + "sw-g112-210809_rayleigh_BEST.nc"),
+        ]
+        solar = jnp.asarray(default_solar_source(spectral), jnp.float32)
+        args, canon, top_at_1 = _common(garand, co)
+        mu0 = jnp.full((NCOL,), 0.86, jnp.float32)
+        alb = jnp.full((NCOL, spectral.nband), 0.06, jnp.float32)
+        kw = dict(args)
+        kw.update(mu0=mu0, sfc_alb_dir=alb, sfc_alb_dif=alb)
+        kwm = {k: v for k, v in canon.items() if k != "tlev_t"}
+        kwm.update(mu0=mu0, sfc_alb_dir=alb, sfc_alb_dif=alb)
+
+        ref = _allsky_sw_core_lay_major(
+            models, spectral, solar, co, top_at_1=top_at_1, **kw)
+        got = _allsky_sw_core_mega(
+            models, spectral, solar, co, top_at_1=top_at_1, **kwm)
+
+        np.testing.assert_allclose(
+            np.asarray(got.flux_dn), np.asarray(ref.flux_dn),
+            rtol=3e-6, atol=2e-2)
+        np.testing.assert_allclose(
+            np.asarray(got.flux_up), np.asarray(ref.flux_up),
+            rtol=3e-6, atol=2e-2)
+        np.testing.assert_allclose(
+            np.asarray(got.flux_dn_dir), np.asarray(ref.flux_dn_dir),
+            rtol=3e-6, atol=2e-2)
+
+    def test_public_api_dispatch(self, garand):
+        models = [
+            load_model_netcdf(D + "sw-g112-210809_absorption_BEST.nc"),
+            load_model_netcdf(D + "sw-g112-210809_rayleigh_BEST.nc"),
+        ]
+        with config_override(use_megakernel=True):
+            fb_mega = allsky_sw(G, CSW, models, ncol=NCOL)
+        with config_override(use_megakernel=False):
+            fb_ref = allsky_sw(G, CSW, models, ncol=NCOL)
+        np.testing.assert_allclose(
+            np.asarray(fb_mega.flux_dn), np.asarray(fb_ref.flux_dn),
+            rtol=3e-6, atol=2e-2)
