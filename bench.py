@@ -29,9 +29,10 @@ def main() -> None:
 
     from rte_rrtmgp_nn_tpu.drivers.rfmip import (
         _lw_core_lay_major,
-        _lw_core_mega4,
+        _lw_core_mega4_canon,
         _sw_core_lay_major,
-        _sw_core_mega,
+        _sw_core_mega_canon,
+        canonicalize_rfmip_inputs,
         default_solar_source,
     )
     from rte_rrtmgp_nn_tpu.drivers.rfmip_io import read_rfmip
@@ -62,11 +63,13 @@ def main() -> None:
     table = PlanckTable.compute(lw_spec.band_lims_wvn_array, dtype=dtype)
     solar = jnp.asarray(default_solar_source(sw_spec), dtype)
 
-    # TPU: the fused megakernel cores (docs/PERFORMANCE.md); elsewhere the
-    # staged lay-major cores (Pallas interpret mode would distort timings).
-    if jax.default_backend() == "tpu":
-        lw_core = functools.partial(_lw_core_mega4, tile_c=32)
-        sw_core = functools.partial(_sw_core_mega, tile_c=48)
+    # TPU: the fused megakernel cores on canonical lay-major inputs
+    # (docs/PERFORMANCE.md); elsewhere the staged lay-major cores (Pallas
+    # interpret mode would distort timings).
+    use_mega = jax.default_backend() == "tpu"
+    if use_mega:
+        lw_core = functools.partial(_lw_core_mega4_canon, tile_c=32)
+        sw_core = functools.partial(_sw_core_mega_canon, tile_c=48)
     else:
         lw_core, sw_core = _lw_core_lay_major, _sw_core_lay_major
     lw_fn = jax.jit(
@@ -82,21 +85,38 @@ def main() -> None:
         )
     )
 
-    concs = {k: jnp.asarray(v, dtype) for k, v in data.gas_concs.concs.items()}
-    lw_args = (
-        jnp.asarray(data.play, dtype), jnp.asarray(data.plev, dtype),
-        jnp.asarray(data.tlay, dtype), jnp.asarray(data.tlev, dtype),
-        jnp.asarray(data.tsfc, dtype),
-        jnp.broadcast_to(jnp.asarray(data.sfc_emis, dtype)[:, None], (ncol, lw_spec.nband)),
-        concs,
-    )
+    tsfc = jnp.asarray(data.tsfc, dtype)
+    emis = jnp.broadcast_to(
+        jnp.asarray(data.sfc_emis, dtype)[:, None], (ncol, lw_spec.nband))
     mu0 = jnp.asarray(np.cos(np.deg2rad(data.sza)), dtype)
     usecol = jnp.asarray(data.sza < 90.0)
-    sw_args = (
-        jnp.asarray(data.play, dtype), jnp.asarray(data.plev, dtype),
-        jnp.asarray(data.tlay, dtype), jnp.asarray(data.sfc_alb, dtype),
-        mu0, usecol, jnp.asarray(data.tsi, dtype), concs,
-    )
+    if use_mega:
+        play_t, plev_t, tlay_t, tlev_t, concs_t = canonicalize_rfmip_inputs(
+            data)
+        concs = {k: jnp.asarray(v, dtype) for k, v in concs_t.items()}
+        lw_args = (
+            jnp.asarray(play_t, dtype), jnp.asarray(plev_t, dtype),
+            jnp.asarray(tlay_t, dtype), jnp.asarray(tlev_t, dtype),
+            tsfc, emis, concs,
+        )
+        sw_args = (
+            jnp.asarray(play_t, dtype), jnp.asarray(plev_t, dtype),
+            jnp.asarray(tlay_t, dtype), jnp.asarray(data.sfc_alb, dtype),
+            mu0, usecol, jnp.asarray(data.tsi, dtype), concs,
+        )
+    else:
+        concs = {k: jnp.asarray(v, dtype)
+                 for k, v in data.gas_concs.concs.items()}
+        lw_args = (
+            jnp.asarray(data.play, dtype), jnp.asarray(data.plev, dtype),
+            jnp.asarray(data.tlay, dtype), jnp.asarray(data.tlev, dtype),
+            tsfc, emis, concs,
+        )
+        sw_args = (
+            jnp.asarray(data.play, dtype), jnp.asarray(data.plev, dtype),
+            jnp.asarray(data.tlay, dtype), jnp.asarray(data.sfc_alb, dtype),
+            mu0, usecol, jnp.asarray(data.tsi, dtype), concs,
+        )
 
     lw_args = jax.device_put(lw_args)
     sw_args = jax.device_put(sw_args)

@@ -102,6 +102,116 @@ def resolve_solar_source(
     return out
 
 
+def canonicalize_rfmip_inputs(data: RFMIPData, dtype=np.float32):
+    """Host-side lay-major canonicalization for the megakernel cores:
+    (ncol, nlay[+1]) atmosphere fields become (nlay[+1], ncol) top-at-0
+    contiguous numpy, and per-layer (1-D) gas profiles are materialized to
+    full lay-major 2-D (scalars stay scalar). The flips/transposes run
+    ONCE in numpy so the jitted cores do ZERO layout copies on device.
+    Returns (play_t, plev_t, tlay_t, tlev_t, concs_t)."""
+    def canon(a):
+        a = np.asarray(a, dtype)
+        if not data.top_at_1:
+            a = a[:, ::-1]
+        return np.ascontiguousarray(a.T)
+
+    concs_t = {}
+    for name, raw in data.gas_concs.concs.items():
+        r = np.asarray(raw, dtype)
+        if r.ndim == 0:
+            concs_t[name] = r
+        elif r.ndim == 1:  # per-layer profile
+            concs_t[name] = canon(np.broadcast_to(r[None, :],
+                                                  (data.ncol, r.shape[0])))
+        else:
+            concs_t[name] = canon(r)
+    return (canon(data.play), canon(data.plev), canon(data.tlay),
+            canon(data.tlev), concs_t)
+
+
+def _lw_core_mega4_canon(
+    models: Sequence[NNModel],
+    planck_table: PlanckTable,
+    spectral: SpectralMapping,
+    play_t, plev_t, tlay_t, tlev_t, tsfc, sfc_emis_band, concs_t,
+    top_at_1: bool,
+    tile_c: int = 32,
+):
+    """_lw_core_mega4 on CANONICAL lay-major top-at-0 inputs
+    (canonicalize_rfmip_inputs): the jitted core emits no flip/transpose
+    copies at all; top_at_1 only flips the output fluxes back. Numerics
+    identical to _lw_core_mega4 (same expressions, layout-only change)."""
+    from ..gasoptics.nn_gas_optics import (
+        compute_nn_inputs_split,
+        get_col_dry_lay_major,
+    )
+    from ..ops.pallas.lw_megakernel import lw_clearsky_mega4
+
+    gas_desc = GasConcs(concs_t)
+    nlay, ncol = play_t.shape
+    col_dry = get_col_dry_lay_major(
+        gas_desc.get_vmr("h2o", nlay, ncol), plev_t)
+    x2d, const_feats, perm = compute_nn_inputs_split(
+        play_t, tlay_t, gas_desc, models[0], (), lay_major=True)
+    n2d = len(x2d)
+    w1 = models[0].weights[0]
+    w1a = w1[np.asarray(perm[:n2d])]
+    w1c = (w1[np.asarray(perm[n2d:])] if len(perm) > n2d
+           else jnp.zeros((1, w1.shape[1]), w1.dtype))
+    one_hot = jnp.asarray(
+        (spectral.gpt2band[None, :] == np.arange(spectral.nband)[:, None]),
+        x2d[0].dtype,
+    )
+    emis = spectral.expand(sfc_emis_band)
+    up, dn = lw_clearsky_mega4(
+        models[0], x2d, const_feats, w1a, w1c, col_dry,
+        tlay_t, tlev_t, tsfc, planck_table, one_hot, emis, tile_c=tile_c,
+    )
+    if not top_at_1:
+        up, dn = up[:, ::-1], dn[:, ::-1]
+    return FluxesBroadband(flux_up=up, flux_dn=dn, flux_net=dn - up)
+
+
+def _sw_core_mega_canon(
+    models: Sequence[NNModel],
+    spectral: SpectralMapping,
+    solar_source,
+    play_t, plev_t, tlay_t, sfc_alb, mu0, usecol, tsi, concs_t,
+    top_at_1: bool,
+    tile_c: int = 48,
+):
+    """_sw_core_mega on CANONICAL lay-major top-at-0 inputs (see
+    canonicalize_rfmip_inputs / _lw_core_mega4_canon)."""
+    from ..gasoptics.nn_gas_optics import (
+        compute_nn_inputs,
+        get_col_dry_lay_major,
+    )
+    from ..ops.pallas.sw_megakernel import sw_clearsky_megakernel
+
+    gd_t = GasConcs(concs_t)
+    nlay, ncol = play_t.shape
+    col_dry_t = get_col_dry_lay_major(
+        gd_t.get_vmr("h2o", nlay, ncol), plev_t)
+    x = compute_nn_inputs(play_t, tlay_t, gd_t, models[0])
+    toa_src = jnp.broadcast_to(solar_source[None, :], (ncol, spectral.ngpt))
+    toa_src = toa_src * (tsi / jnp.sum(toa_src, axis=-1))[:, None]
+    alb_gpt = sfc_alb[:, None] * jnp.ones_like(toa_src)
+    mu0_safe = jnp.where(usecol, mu0, 1.0)
+    up, dn, dn_dir = sw_clearsky_megakernel(
+        models[0], models[1], x, col_dry_t, mu0_safe,
+        toa_src * mu0_safe[:, None], alb_gpt, alb_gpt, tile_c=tile_c,
+    )
+    if not top_at_1:
+        up, dn, dn_dir = up[:, ::-1], dn[:, ::-1], dn_dir[:, ::-1]
+    mask = usecol[:, None]
+    return FluxesBroadband(
+        flux_up=jnp.where(mask, up, 0.0),
+        flux_dn=jnp.where(mask, dn, 0.0),
+        flux_net=jnp.where(mask, dn - up, 0.0),
+        flux_dn_dir=jnp.where(mask, dn_dir, 0.0),
+    )
+
+
 def _lw_core(
     models: Sequence[NNModel],
     planck_table: PlanckTable,
@@ -333,11 +443,19 @@ def rfmip_clear_sky_lw(
         # 44.6 ms at 57.6k cols) and numerically noisier (bf16 grouping)
         # than carrying them as lanes -- docs/PERFORMANCE.md. Missing
         # gases (scenario refs) still use the const block.
+        play_t, plev_t, tlay_t, tlev_t, concs_t = canonicalize_rfmip_inputs(
+            data)
         core = functools.partial(
-            _lw_core_mega4, models, planck_table, spectral,
+            _lw_core_mega4_canon, models, planck_table, spectral,
             top_at_1=data.top_at_1, tile_c=32,
         )
-    elif n_gauss_angles == 1 and scan_mode == "sequential":
+        return jax.jit(core)(
+            jnp.asarray(play_t, dtype), jnp.asarray(plev_t, dtype),
+            jnp.asarray(tlay_t, dtype), jnp.asarray(tlev_t, dtype),
+            jnp.asarray(data.tsfc, dtype), sfc_emis_band,
+            {k: jnp.asarray(v, dtype) for k, v in concs_t.items()},
+        )
+    if n_gauss_angles == 1 and scan_mode == "sequential":
         core = functools.partial(
             _lw_core_lay_major, models, planck_table, spectral,
             top_at_1=data.top_at_1,
@@ -531,11 +649,21 @@ def rfmip_clear_sky_sw(
     if use_mega is None:
         use_mega = jax.default_backend() == "tpu"
     if scan_mode == "sequential" and use_mega and dtype == jnp.float32:
+        play_t, plev_t, tlay_t, _, concs_t = canonicalize_rfmip_inputs(data)
         core = functools.partial(
-            _sw_core_mega, models, spectral, jnp.asarray(solar_source, dtype),
+            _sw_core_mega_canon, models, spectral,
+            jnp.asarray(solar_source, dtype),
             top_at_1=data.top_at_1, tile_c=48,
         )
-    elif scan_mode == "sequential":
+        return jax.jit(core)(
+            jnp.asarray(play_t, dtype), jnp.asarray(plev_t, dtype),
+            jnp.asarray(tlay_t, dtype),
+            jnp.asarray(data.sfc_alb, dtype),
+            jnp.asarray(mu0, dtype), jnp.asarray(usecol),
+            jnp.asarray(data.tsi, dtype),
+            {k: jnp.asarray(v, dtype) for k, v in concs_t.items()},
+        )
+    if scan_mode == "sequential":
         core = functools.partial(
             _sw_core_lay_major, models, spectral, jnp.asarray(solar_source, dtype),
             top_at_1=data.top_at_1,
