@@ -16,7 +16,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..drivers.rfmip import _lw_core_lay_major, default_solar_source
+from ..config import config
+from ..drivers.rfmip import (
+    _lw_core_lay_major,
+    _lw_core_mega4_canon,
+    default_solar_source,
+)
 from ..drivers.rfmip_io import RFMIPData
 from ..gasoptics.planck import PlanckTable, lw_spectral_g128, sw_spectral_g112
 from ..models.network import NNModel
@@ -86,24 +91,51 @@ def gcm_sweep_allsky(
     solar = jnp.asarray(default_solar_source(sw_spec), dtype)
     gas_names = [k.split(":", 1)[1] for k in host if k.startswith("gas:")]
 
-    def step(play, plev, tlay, tlev, tsfc, emis, alb, mu0, lwp, iwp, rel, rei, *gas_vals):
-        # layer-major cores (drivers.allsky): cloud optics folded into the
-        # gas props in the g-point domain before the broadband solves, so
-        # the in-scan spectral reduction survives clouds at GCM scale.
-        from .allsky import _allsky_lw_core_lay_major, _allsky_sw_core_lay_major
+    use_mega = config.use_megakernel
+    if use_mega is None:
+        use_mega = jax.default_backend() == "tpu"
 
+    def step(play, plev, tlay, tlev, tsfc, emis, alb, mu0, lwp, iwp, rel, rei, *gas_vals):
         nlay = play.shape[1]
         concs = {
             g: (v if v.ndim == 2 else jnp.broadcast_to(v[:, None], (v.shape[0], nlay)))
             for g, v in zip(gas_names, gas_vals)
         }
         emis_b = jnp.broadcast_to(emis[:, None], (play.shape[0], lw_spec.nband))
+        alb_b = jnp.broadcast_to(alb[:, None], (play.shape[0], sw_spec.nband))
+        if use_mega:
+            # megakernel cores on in-jit canonicalized blocks: at GCM block
+            # sizes the transposes are roofline-trivial (~1 ms) next to the
+            # 2-3x megakernel win, so host-side canonicalization is not
+            # worth restructuring the column-sliced stream for.
+            from .allsky import _allsky_lw_core_mega, _allsky_sw_core_mega
+
+            canon = (lambda a: a.T) if top_at_1 else (lambda a: a[:, ::-1].T)
+            play_t, plev_t, tlay_t, tlev_t = map(canon, (play, plev, tlay, tlev))
+            lwp_t, iwp_t, rel_t, rei_t = map(canon, (lwp, iwp, rel, rei))
+            concs_t = {g: canon(v) for g, v in concs.items()}
+            fb_lw = _allsky_lw_core_mega(
+                lw_models, table, lw_spec, cloud_lw,
+                play_t, plev_t, tlay_t, tlev_t, tsfc, emis_b,
+                lwp_t, iwp_t, rel_t, rei_t, concs_t, top_at_1=top_at_1,
+            )
+            fb_sw = _allsky_sw_core_mega(
+                sw_models, sw_spec, solar, cloud_sw,
+                play_t, plev_t, tlay_t, mu0, alb_b, alb_b,
+                lwp_t, iwp_t, rel_t, rei_t, concs_t, top_at_1=top_at_1,
+            )
+            return (fb_lw.flux_up[:, 0], fb_lw.flux_dn[:, -1],
+                    fb_sw.flux_dn[:, -1])
+        # layer-major cores (drivers.allsky): cloud optics folded into the
+        # gas props in the g-point domain before the broadband solves, so
+        # the in-scan spectral reduction survives clouds at GCM scale.
+        from .allsky import _allsky_lw_core_lay_major, _allsky_sw_core_lay_major
+
         fb_lw = _allsky_lw_core_lay_major(
             lw_models, table, lw_spec, cloud_lw,
             play, plev, tlay, tlev, tsfc, emis_b, lwp, iwp, rel, rei, concs,
             top_at_1=top_at_1,
         )
-        alb_b = jnp.broadcast_to(alb[:, None], (play.shape[0], sw_spec.nband))
         fb_sw = _allsky_sw_core_lay_major(
             sw_models, sw_spec, solar, cloud_sw,
             play, plev, tlay, mu0, alb_b, alb_b, lwp, iwp, rel, rei, concs,
@@ -151,6 +183,10 @@ def gcm_sweep_lw(
     gas_names = [k.split(":", 1)[1] for k in host if k.startswith("gas:")]
     nband = spectral.nband
 
+    use_mega = config.use_megakernel
+    if use_mega is None:
+        use_mega = jax.default_backend() == "tpu"
+
     def step(play, plev, tlay, tlev, tsfc, emis, *gas_vals):
         nlay = play.shape[1]
         concs = {
@@ -158,10 +194,19 @@ def gcm_sweep_lw(
             for g, v in zip(gas_names, gas_vals)
         }
         emis_b = jnp.broadcast_to(emis[:, None], (play.shape[0], nband))
-        fb = _lw_core_lay_major(
-            models, table, spectral, play, plev, tlay, tlev, tsfc, emis_b, concs,
-            top_at_1=top_at_1,
-        )
+        if use_mega:  # see gcm_sweep_allsky: in-jit canon + mega4 kernel
+            canon = (lambda a: a.T) if top_at_1 else (lambda a: a[:, ::-1].T)
+            fb = _lw_core_mega4_canon(
+                models, table, spectral,
+                canon(play), canon(plev), canon(tlay), canon(tlev),
+                tsfc, emis_b, {g: canon(v) for g, v in concs.items()},
+                top_at_1=top_at_1,
+            )
+        else:
+            fb = _lw_core_lay_major(
+                models, table, spectral, play, plev, tlay, tlev, tsfc,
+                emis_b, concs, top_at_1=top_at_1,
+            )
         # stream back only level-0/surface diagnostics to minimize D2H traffic
         return fb.flux_up[:, 0], fb.flux_dn[:, -1]
 

@@ -162,3 +162,36 @@ class TestSWAllSkyMega:
         np.testing.assert_allclose(
             np.asarray(fb_mega.flux_dn), np.asarray(fb_ref.flux_dn),
             rtol=3e-6, atol=2e-2)
+
+
+class TestGCMMegaSweep:
+    def test_gcm_allsky_mega_matches_staged(self, garand):
+        """The streamed GCM all-sky sweep with the megakernel cores
+        (in-jit canonicalization) matches the staged lay-major sweep."""
+        from rte_rrtmgp_nn_tpu.drivers.gcm import (
+            gcm_sweep_allsky,
+            synthesize_gcm_columns,
+        )
+        from rte_rrtmgp_nn_tpu.drivers.rfmip_io import read_rfmip
+        from rte_rrtmgp_nn_tpu.extensions.cloud_optics import load_cloud_optics
+
+        rfmip = ("/root/reference/examples/rfmip-clear-sky/"
+                 "multiple_input4MIPs_radiation_RFMIP_UColorado-RFMIP-1-2_none.nc")
+        if not os.path.exists(rfmip):
+            pytest.skip("reference data not available")
+        D = "/root/reference/neural/data/"
+        base = read_rfmip(rfmip)
+        host = synthesize_gcm_columns(base, 300)
+        lw = [load_model_netcdf(D + "lw-g128-210809_both_BEST.nc")]
+        sw = [load_model_netcdf(D + "sw-g112-210809_absorption_BEST.nc"),
+              load_model_netcdf(D + "sw-g112-210809_rayleigh_BEST.nc")]
+        clw = load_cloud_optics(CLW)
+        csw = load_cloud_optics(CSW)
+        with config_override(use_megakernel=False):
+            ref = gcm_sweep_allsky(host, lw, sw, clw, csw, block_size=256,
+                                   top_at_1=base.top_at_1)
+        with config_override(use_megakernel=True):
+            got = gcm_sweep_allsky(host, lw, sw, clw, csw, block_size=256,
+                                   top_at_1=base.top_at_1)
+        for key in ("mean_olr", "mean_lw_sfc_dn", "mean_sw_sfc_dn"):
+            assert got[key] == pytest.approx(ref[key], abs=2e-2), key
