@@ -281,7 +281,9 @@ def _allsky_sw_core_mega(
     cloud 2-stream products ride 3*nband extra lanes and combine with the
     gas props in-kernel (sw_clearsky_megakernel cld_bands). Inputs are
     CANONICAL lay-major top-at-0 (canonicalize_allsky_inputs). Numerics
-    match _allsky_sw_core_lay_major (rrtmgp_allsky.F90 SW branch)."""
+    match _allsky_sw_core_lay_major (rrtmgp_allsky.F90 SW branch);
+    adjudicated vs f64 truth on Garand: staged-f32 1.70e-3, mega-f32
+    1.76e-3 W/m2 max flux error -- the inter-path delta is f32 noise."""
     import numpy as np
 
     from ..gasoptics.nn_gas_optics import (
