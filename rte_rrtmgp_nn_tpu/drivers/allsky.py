@@ -345,7 +345,9 @@ def allsky_lw(
     if use_mega is None:
         use_mega = jax.default_backend() == "tpu"
     if (n_gauss_angles == 1 and scan_mode == "sequential" and use_mega
-            and dtype == jnp.float32):
+            and dtype == jnp.float32
+            # mega4 hardcodes exact exp + linear-in-tau source (see rfmip)
+            and not config.fast_exponential and not config.use_pade_source):
         fields, concs_t = canonicalize_allsky_inputs(
             atm.play, atm.plev, atm.tlay, atm.tlev, lwp, iwp, rel, rei,
             atm.gas_concs, top_at_1)

@@ -75,10 +75,6 @@ def gcm_sweep_allsky(
     """Full LW+SW ALL-SKY streamed sweep (the BASELINE.json capstone
     config): NN gas optics + idealized clouds (drivers.allsky.make_clouds
     applied per block) -> LW no-scat + SW two-stream, broadband outputs."""
-    from ..extensions.cloud_optics import cloud_optics
-    from ..optical_props import OpticalProps1scl, OpticalProps2str, delta_scale, increment
-    from ..gas_concs import GasConcs
-    from ..rte import rte_lw, rte_sw
     from .allsky import make_clouds
 
     lw_spec = lw_spectral_g128()
@@ -94,6 +90,9 @@ def gcm_sweep_allsky(
     use_mega = config.use_megakernel
     if use_mega is None:
         use_mega = jax.default_backend() == "tpu"
+    # mega4 hardcodes exact exp + linear-in-tau source (see rfmip dispatch)
+    use_mega = (use_mega and not config.fast_exponential
+                and not config.use_pade_source)
 
     def step(play, plev, tlay, tlev, tsfc, emis, alb, mu0, lwp, iwp, rel, rei, *gas_vals):
         nlay = play.shape[1]
@@ -186,6 +185,9 @@ def gcm_sweep_lw(
     use_mega = config.use_megakernel
     if use_mega is None:
         use_mega = jax.default_backend() == "tpu"
+    # mega4 hardcodes exact exp + linear-in-tau source (see rfmip dispatch)
+    use_mega = (use_mega and not config.fast_exponential
+                and not config.use_pade_source)
 
     def step(play, plev, tlay, tlev, tsfc, emis, *gas_vals):
         nlay = play.shape[1]

@@ -437,7 +437,11 @@ def rfmip_clear_sky_lw(
     if use_mega is None:
         use_mega = jax.default_backend() == "tpu"
     if (n_gauss_angles == 1 and scan_mode == "sequential" and use_mega
-            and len(models) == 1 and dtype == jnp.float32):
+            and len(models) == 1 and dtype == jnp.float32
+            # the mega4 kernel hardcodes the exact exp and linear-in-tau
+            # source; honor the numerics flags by falling back to the
+            # staged core (which reads them) when either is set
+            and not config.fast_exponential and not config.use_pade_source):
         # const_gas_names stays empty: routing the layer-constant gases
         # through a separate per-tile GEMM measured SLOWER (69.5 vs
         # 44.6 ms at 57.6k cols) and numerically noisier (bf16 grouping)

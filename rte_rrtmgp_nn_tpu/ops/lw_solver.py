@@ -68,6 +68,29 @@ def _flip_lay(x):
     return jnp.flip(x, axis=1)
 
 
+def _noscat_sources(tl, trans, lay, lev_t, lev_b, tau_thresh):
+    """(src_dn, src_up) for the no-scat transport from the optical path tl
+    and its transmittance: the linear-in-tau form by default, or the Pade
+    form when config.use_pade_source (reference lw_source_noscat,
+    mo_rte_solver_kernels.F90; Clough et al. 1992 Eq 15). Shared by every
+    broadband fast path so the flag is honored everywhere."""
+    one_m_t = 1.0 - trans
+    if config.use_pade_source:
+        coeff = 0.2 * tl
+        denom = 1.0 + coeff
+        return (one_m_t * (lay + coeff * lev_b) / denom,
+                one_m_t * (lay + coeff * lev_t) / denom)
+    tl_safe = jnp.where(tl > tau_thresh, tl, 1.0)
+    fact = jnp.where(
+        tl > tau_thresh,
+        (1.0 - trans) / tl_safe - trans,
+        tl * (0.5 - (1.0 / 3.0) * tl),
+    )
+    two_fact = 2.0 * fact
+    return (one_m_t * lev_b + two_fact * (lay - lev_b),
+            one_m_t * lev_t + two_fact * (lay - lev_t))
+
+
 class LWSolution(NamedTuple):
     """Spectral fluxes (ncol, nlay+1, ngpt), W/m2, level 0 = top of domain
     in the caller's orientation. In broadband mode the arrays are
@@ -189,15 +212,8 @@ def _lw_noscat_broadband_fused(
 
     def sources_of(tl, lay, lev_t, lev_b):
         trans = _exp(-tl)
-        tl_safe = jnp.where(tl > tau_thresh, tl, 1.0)
-        fact = jnp.where(
-            tl > tau_thresh,
-            (1.0 - trans) / tl_safe - trans,
-            tl * (0.5 - (1.0 / 3.0) * tl),
-        )
-        one_m_t = 1.0 - trans
-        src_dn = one_m_t * lev_b + 2.0 * fact * (lay - lev_b)
-        src_up = one_m_t * lev_t + 2.0 * fact * (lay - lev_t)
+        src_dn, src_up = _noscat_sources(
+            tl, trans, lay, lev_t, lev_b, tau_thresh)
         return trans, src_dn, src_up
 
     def down(rad, xs):
@@ -295,18 +311,11 @@ def lw_noscat_broadband_from_pfrac(
 
     def sources_of(tl, pf, pfn, bla, ble, blen):
         trans = _exp(-tl)
-        tl_safe = jnp.where(tl > tau_thresh, tl, 1.0)
-        fact = jnp.where(
-            tl > tau_thresh,
-            (1.0 - trans) / tl_safe - trans,
-            tl * (0.5 - (1.0 / 3.0) * tl),
-        )
         lay = pf * (bla @ oh)
         lev_t = pf * (ble @ oh)
         lev_b = pfn * (blen @ oh)
-        one_m_t = 1.0 - trans
-        src_dn = one_m_t * lev_b + 2.0 * fact * (lay - lev_b)
-        src_up = one_m_t * lev_t + 2.0 * fact * (lay - lev_t)
+        src_dn, src_up = _noscat_sources(
+            tl, trans, lay, lev_t, lev_b, tau_thresh)
         return trans, src_dn, src_up
 
     def down(rad, xs):
@@ -390,16 +399,8 @@ def _lw_noscat_broadband_presrc(
         lev_bot = lev_source[1:]
 
     trans = _exp(-tl)
-    tl_safe = jnp.where(tl > tau_thresh, tl, 1.0)
-    fact = jnp.where(
-        tl > tau_thresh,
-        (1.0 - trans) / tl_safe - trans,
-        tl * (0.5 - (1.0 / 3.0) * tl),
-    )
-    one_m_t = 1.0 - trans
-    two_fact = 2.0 * fact
-    src_dn = one_m_t * lev_bot + two_fact * (lay_source - lev_bot)
-    src_up = one_m_t * lev_top + two_fact * (lay_source - lev_top)
+    src_dn, src_up = _noscat_sources(
+        tl, trans, lay_source, lev_top, lev_bot, tau_thresh)
     return lw_broadband_sweeps(
         trans, src_dn, src_up, sfc_emis, sfc_source, inc_flux, weight,
         sfc_source_jac,

@@ -122,3 +122,27 @@ def test_driver_megakernel_dispatch(rfmip_file):
         np.asarray(out.flux_dn), np.asarray(ref.flux_dn), atol=2e-3)
     np.testing.assert_allclose(
         np.asarray(out.flux_up), np.asarray(ref.flux_up), atol=2e-3)
+
+
+def test_numerics_flags_force_staged_fallback(rfmip_file):
+    """fast_exponential / use_pade_source are hardcoded-exact in the mega4
+    kernel, so the driver must fall back to the staged core (which honors
+    them) whenever either flag is set -- fluxes must reflect the flag."""
+    import os
+
+    if not os.path.exists(MODEL):
+        pytest.skip("model not available")
+    from rte_rrtmgp_nn_tpu.config import config_override
+    from rte_rrtmgp_nn_tpu.drivers.rfmip import rfmip_clear_sky_lw
+
+    data = read_rfmip(rfmip_file).block(0, 16)
+    m = [load_model_netcdf(MODEL)]
+    with config_override(use_pade_source=True):
+        ref = rfmip_clear_sky_lw(data, m)  # staged, Pade source
+        with config_override(use_megakernel=True):
+            out = rfmip_clear_sky_lw(data, m)  # must fall back -> identical
+    np.testing.assert_array_equal(
+        np.asarray(out.flux_dn), np.asarray(ref.flux_dn))
+    # and the Pade source actually changed the answer vs the default form
+    exact = rfmip_clear_sky_lw(data, m)
+    assert float(np.max(np.abs(exact.flux_dn - ref.flux_dn))) > 1e-4
