@@ -259,12 +259,22 @@ def _allsky_lw_core_mega(
         (spectral.gpt2band[None, :] == np.arange(spectral.nband)[:, None]),
         x2d[0].dtype,
     )
-    cld = cloud_optics(cloud_co, lwp_t, iwp_t, rel_t, rei_t, as_2str=False)
     emis = spectral.expand(emis_band)
+    if cloud_co.is_lut:
+        # LUT cloud optics runs fully IN-KERNEL: 4 physical lanes instead
+        # of nband tau lanes, no XLA cloud stage at all
+        from ..ops.pallas.lw_megakernel import cloud_lut_pack
+
+        cld_kw = dict(cld_fields=(lwp_t, iwp_t, rel_t, rei_t),
+                      cld_lut=cloud_lut_pack(cloud_co))
+    else:  # Pade coefficients: band tau computed in XLA, folded in-kernel
+        cld = cloud_optics(cloud_co, lwp_t, iwp_t, rel_t, rei_t,
+                           as_2str=False)
+        cld_kw = dict(cld_tau_band=cld.tau)
     up, dn = lw_clearsky_mega4(
         models[0], x2d, const_feats, w1a, w1c, col_dry,
         tlay_t, tlev_t, tsfc, table, one_hot, emis, tile_c=tile_c,
-        cld_tau_band=cld.tau,
+        **cld_kw,
     )
     if not top_at_1:
         up, dn = up[:, ::-1], dn[:, ::-1]
@@ -298,20 +308,30 @@ def _allsky_sw_core_mega(
         gd_t.get_vmr("h2o", nlay, ncol), plev_t)
     x = compute_nn_inputs(play_t, tlay_t, gd_t, models[0])
 
-    cld = cloud_optics(cloud_co, lwp_t, iwp_t, rel_t, rei_t, as_2str=True)
-    cld = delta_scale(cld)
-    tauscat_c = cld.tau * cld.ssa
     one_hot = jnp.asarray(
         (spectral.gpt2band[None, :] == np.arange(spectral.nband)[:, None]),
         x.dtype,
     )
+    if cloud_co.is_lut:
+        # LUT cloud optics + delta-scale run fully IN-KERNEL (see LW)
+        from ..ops.pallas.lw_megakernel import cloud_lut_pack
+
+        cld_kw = dict(cld_fields=(lwp_t, iwp_t, rel_t, rei_t),
+                      cld_lut=cloud_lut_pack(cloud_co))
+    else:
+        cld = cloud_optics(cloud_co, lwp_t, iwp_t, rel_t, rei_t,
+                           as_2str=True)
+        cld = delta_scale(cld)
+        tauscat_c = cld.tau * cld.ssa
+        cld_kw = dict(
+            cld_bands=(cld.tau, tauscat_c, tauscat_c * cld.g))
     toa_src = jnp.broadcast_to(solar[None, :], (ncol, spectral.ngpt))
     alb_dir = spectral.expand(sfc_alb_dir)
     alb_dif = spectral.expand(sfc_alb_dif)
     up, dn, dn_dir = sw_clearsky_megakernel(
         models[0], models[1], x, col_dry_t, mu0,
         toa_src * mu0[:, None], alb_dir, alb_dif, tile_c=tile_c,
-        cld_bands=(cld.tau, tauscat_c, tauscat_c * cld.g), one_hot=one_hot,
+        one_hot=one_hot, **cld_kw,
     )
     if not top_at_1:
         up, dn, dn_dir = up[:, ::-1], dn[:, ::-1], dn_dir[:, ::-1]

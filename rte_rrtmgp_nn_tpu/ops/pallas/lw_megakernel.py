@@ -264,6 +264,65 @@ def _dot3split(x, oh):
             + jnp.dot(lo, oh, preferred_element_type=f32))
 
 
+def cloud_lut_pack(co):
+    """Host-side prep for IN-KERNEL cloud optics: per phase (liquid, ice)
+    the combined [ext|ssa|asy | forward diffs] LUT block split into three
+    bf16-representable terms (exact on the MXU, see planck_interp_table),
+    plus the radius-grid geometry. co: extensions.cloud_optics.CloudOptics
+    (LUT flavor; reference mo_cloud_optics.F90 compute_all_from_table)."""
+    f32 = jnp.float32
+
+    def pack(ext, ssa, asy):
+        cat = jnp.concatenate(
+            [jnp.asarray(ext).T, jnp.asarray(ssa).T, jnp.asarray(asy).T],
+            axis=1).astype(f32)
+        dcat = jnp.concatenate(
+            [cat[1:] - cat[:-1], jnp.zeros((1, cat.shape[1]), f32)], 0)
+        cat2 = jnp.concatenate([cat, dcat], axis=1)  # (nsteps, 6*nband)
+        hi = cat2.astype(jnp.bfloat16).astype(f32)
+        r = cat2 - hi
+        mid = r.astype(jnp.bfloat16).astype(f32)
+        lo = r - mid
+        return hi, mid, lo
+
+    liq = pack(co.lut_extliq, co.lut_ssaliq, co.lut_asyliq)
+    ice = pack(co.lut_extice[co.icergh - 1], co.lut_ssaice[co.icergh - 1],
+               co.lut_asyice[co.icergh - 1])
+    n_liq = liq[0].shape[0]
+    n_ice = ice[0].shape[0]
+    geom = (
+        float(co.radliq_lwr),
+        float((co.radliq_upr - co.radliq_lwr) / (n_liq - 1)),
+        float(co.radice_lwr),
+        float((co.radice_upr - co.radice_lwr) / (n_ice - 1)),
+    )
+    return liq, ice, geom
+
+
+def _cloud_lut_interp(wp, re, t_hi, t_mid, t_lo, nsteps, nband, offset, step):
+    """In-kernel cloud LUT lerp -> (t, t*ssa, t*ssa*g) at band resolution.
+    Mirrors extensions.cloud_optics._from_table's f32 matmul path (same
+    index/fraction semantics, same masking and product grouping)."""
+    f32 = jnp.float32
+    fidx = (re - offset) / step                  # (rows, 1)
+    i0 = jnp.clip(jnp.floor(fidx), 0.0, float(nsteps - 2))
+    frac = fidx - i0
+    k = jax.lax.broadcasted_iota(
+        jnp.int32, (re.shape[0], nsteps), 1).astype(f32)
+    oh0 = (k == i0).astype(f32)                  # exact 0/1 row pick
+    g = ((jnp.dot(oh0, t_hi, preferred_element_type=f32)
+          + jnp.dot(oh0, t_mid, preferred_element_type=f32))
+         + jnp.dot(oh0, t_lo, preferred_element_type=f32))
+    vals = g[:, :3 * nband] + frac * g[:, 3 * nband:]
+    e_v = vals[:, :nband]
+    s_v = vals[:, nband:2 * nband]
+    a_v = vals[:, 2 * nband:]
+    t = jnp.where(wp > 0.0, wp * e_v, 0.0)
+    ts = t * s_v
+    tsg = ts * a_v
+    return t, ts, tsg
+
+
 def _planck_interp3(t_col, tp_hi, tp_mid, tp_lo, ntab, nband, t_min, t_delta):
     """Exact in-kernel totplnk lerp (see planck_interp_table). Edge
     semantics match reference interpolate1D (index clamped, fraction
@@ -282,11 +341,12 @@ def _planck_interp3(t_col, tp_hi, tp_mid, tp_lo, ntab, nband, t_min, t_delta):
     return g[:, :nband] + frac * g[:, nband:]
 
 
-def _mega4_kernel(nlay, ngpt, nband, n2d, nc, ntab, n_cld, tile_c, d_secant,
-                  two_pi_w, tau_thresh, t_min, t_delta, unroll,
+def _mega4_kernel(nlay, ngpt, nband, n2d, nc, ntab, n_cld, lut, tile_c,
+                  d_secant, two_pi_w, tau_thresh, t_min, t_delta, unroll,
                   fused_ref, const_ref, tsfc_ref, emis_ref,
                   w1a_ref, w1c_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
                   omean_ref, ostd_ref, oh_ref, tphi_ref, tpmid_ref, tplo_ref,
+                  cliq_hi, cliq_mid, cliq_lo, cice_hi, cice_mid, cice_lo,
                   up_ref, dn_ref,
                   trans_scr, sdn_scr, sup_scr, dn_acc, up_acc):
     f32 = jnp.float32
@@ -323,7 +383,24 @@ def _mega4_kernel(nlay, ngpt, nband, n2d, nc, ntab, n_cld, tile_c, d_secant,
     yt = ostd_ref[0, :ngpt] * y[:, :ngpt] + omean_ref[0, :ngpt]
     y2 = yt * yt
     y4 = y2 * y2
-    if n_cld:
+    if lut is not None:
+        # all-sky, FULLY in-kernel cloud optics: 4 physical lanes
+        # (lwp, iwp, rel, rei) -> LUT lerp -> absorption tau -> band->gpt
+        # expansion, all VMEM-resident (extensions/cloud_optics.py
+        # _from_table + the as_2str=False combine, same groupings)
+        n_liq, n_ice, liq_off, liq_step, ice_off, ice_step = lut
+        o_cld = o_bot + 1
+        lt, lts, _ = _cloud_lut_interp(
+            ff[:, o_cld:o_cld + 1], ff[:, o_cld + 2:o_cld + 3],
+            cliq_hi[:, :], cliq_mid[:, :], cliq_lo[:, :],
+            n_liq, nband, liq_off, liq_step)
+        it_, its, _ = _cloud_lut_interp(
+            ff[:, o_cld + 1:o_cld + 2], ff[:, o_cld + 3:o_cld + 4],
+            cice_hi[:, :], cice_mid[:, :], cice_lo[:, :],
+            n_ice, nband, ice_off, ice_step)
+        tau_cld = _dot3split((lt - lts) + (it_ - its), oh)
+        tl = ((y4 * y4) * ff[:, o_cd:o_cd + 1] + tau_cld) * d_secant
+    elif n_cld:
         # all-sky: fold the band-resolved cloud absorption tau into the gas
         # tau BEFORE the diffusivity scaling (same grouping as the staged
         # all-sky core: (tau_gas + expand(tau_cld)) * D)
@@ -409,6 +486,9 @@ def lw_clearsky_mega4(
     unroll: int | None = None,
     interpret: bool | None = None,
     cld_tau_band=None,  # (nlay, ncol, nband) cloud absorption tau, or None
+    cld_fields=None,    # (lwp, iwp, rel, rei) each (nlay, ncol): in-kernel
+                        #   cloud-optics LUT path (needs cld_lut)
+    cld_lut=None,       # cloud_lut_pack(co) result for cld_fields
 ):
     """Fully fused LW clear-sky pipeline, v4: thin-lane inputs, everything
     else in-kernel. Over mega3 it moves the Planck-table interpolation
@@ -474,9 +554,19 @@ def lw_clearsky_mega4(
             tlev[1:].astype(f32)[..., None],
         ]
     n_cld = 0
-    if cld_tau_band is not None:
+    lut_static = None
+    if cld_fields is not None:
+        if cld_lut is None:
+            raise ValueError("cld_fields requires cld_lut (cloud_lut_pack)")
+        liq3, ice3, geom = cld_lut
+        parts += [c.astype(f32)[..., None] for c in cld_fields]
+        lut_static = (liq3[0].shape[0], ice3[0].shape[0], *geom)
+    elif cld_tau_band is not None:
         n_cld = cld_tau_band.shape[-1]
         parts.append(cld_tau_band.astype(f32))
+    if lut_static is None:
+        z = jnp.zeros((1, 1), f32)
+        liq3 = ice3 = (z, z, z)
     # ONE concatenate: a second concat would materialize the whole fused
     # block twice (0.6 ms of the LW all-sky staging at 1800 cols)
     fused = jnp.concatenate(parts, axis=-1)
@@ -507,8 +597,8 @@ def lw_clearsky_mega4(
                           memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
-        _mega4_kernel, nlay, ngpt, nband, n2d, nc, ntab, n_cld, tile_c,
-        d_secant, two_pi_w, tau_thresh,
+        _mega4_kernel, nlay, ngpt, nband, n2d, nc, ntab, n_cld, lut_static,
+        tile_c, d_secant, two_pi_w, tau_thresh,
         float(planck_table.temp_ref_min), float(planck_table.totplnk_delta),
         unroll,
     )
@@ -527,6 +617,7 @@ def lw_clearsky_mega4(
             rep(one_hot.shape),
             rep((ntab, 2 * nband)), rep((ntab, 2 * nband)),
             rep((ntab, 2 * nband)),
+            *(rep(t.shape) for t in (*liq3, *ice3)),
         ],
         out_specs=(out_bs, out_bs),
         out_shape=(
@@ -547,6 +638,7 @@ def lw_clearsky_mega4(
         w3.astype(f32), row2(b3),
         row2(model.output_mean), row2(model.output_std),
         one_hot.astype(f32), tp_hi, tp_mid, tp_lo,
+        *liq3, *ice3,
     )
     return up[:ncol], dn[:ncol]
 

@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...config import config
-from .lw_megakernel import _dot3split, _softsign
+from .lw_megakernel import _cloud_lut_interp, _dot3split, _softsign
 
 
 def _mlp_tau(ff, nf, w1, b1, w2, b2, w3, b3, omean, ostd, col_dry):
@@ -55,9 +55,11 @@ def _mlp_tau(ff, nf, w1, b1, w2, b2, w3, b3, omean, ostd, col_dry):
     return (y4 * y4) * col_dry
 
 
-def _sw_mega_kernel(nlay, ngpt, nf, n_cld, tile_c, k_min, eps, unroll,
+def _sw_mega_kernel(nlay, ngpt, nband, nf, n_cld, lut, tile_c, k_min, eps,
+                    unroll,
                     ff_ref, mu0_ref, incdir_ref, incdif_ref,
                     albdir_ref, albdif_ref, oh_ref,
+                    cliq_hi, cliq_mid, cliq_lo, cice_hi, cice_mid, cice_lo,
                     wa1, ba1, wa2, ba2, wa3, ba3, oma, osa,
                     wr1, br1, wr2, br2, wr3, br3, omr, osr,
                     up_ref, dn_ref, dir_ref,
@@ -73,7 +75,41 @@ def _sw_mega_kernel(nlay, ngpt, nf, n_cld, tile_c, k_min, eps, unroll,
     tau_gas = tau_abs + tau_ray
     tau_safe = jnp.where(tau_gas > 0, tau_gas, 1.0)
     ssa_gas = jnp.where(tau_gas > 0, tau_ray / tau_safe, 0.0)
-    if n_cld:
+    if lut is not None:
+        # all-sky, FULLY in-kernel cloud optics: 4 physical lanes
+        # (lwp, iwp, rel, rei) -> LUT lerp -> 2-stream combine ->
+        # delta-scale -> band->gpt expansion, all VMEM-resident (mirrors
+        # extensions/cloud_optics.py + optical_props.delta_scale)
+        n_liq, n_ice, liq_off, liq_step, ice_off, ice_step = lut
+        oh = oh_ref[:, :]
+        o_c = nf + 1
+        lt, lts, ltsg = _cloud_lut_interp(
+            ff[:, o_c:o_c + 1], ff[:, o_c + 2:o_c + 3],
+            cliq_hi[:, :], cliq_mid[:, :], cliq_lo[:, :],
+            n_liq, nband, liq_off, liq_step)
+        it_, its, itsg = _cloud_lut_interp(
+            ff[:, o_c + 1:o_c + 2], ff[:, o_c + 3:o_c + 4],
+            cice_hi[:, :], cice_mid[:, :], cice_lo[:, :],
+            n_ice, nband, ice_off, ice_step)
+        tau_b = lt + it_
+        taussa = lts + its
+        g_b = (ltsg + itsg) / jnp.maximum(eps, taussa)
+        ssa_b = taussa / jnp.maximum(eps, tau_b)
+        # delta_scale (f = g**2), optical_props.py:150-160
+        f_b = g_b * g_b
+        wf = ssa_b * f_b
+        tau_d = tau_b * (1.0 - wf)
+        g_d = (g_b - f_b) / jnp.maximum(eps, 1.0 - f_b)
+        ssa_d = (ssa_b - wf) / jnp.maximum(eps, 1.0 - wf)
+        tsc_d = tau_d * ssa_d
+        tc = _dot3split(tau_d, oh)
+        tsc = _dot3split(tsc_d, oh)
+        tgc = _dot3split(tsc_d * g_d, oh)
+        tau = tau_gas + tc
+        tauscat = tau_gas * ssa_gas + tsc
+        g = tgc / jnp.maximum(eps, tauscat)
+        ssa = tauscat / jnp.maximum(eps, tau)
+    elif n_cld:
         # all-sky: delta-scaled cloud 2-stream props ride 3*nband lanes
         # (tau_c, tau_c*ssa_c, tau_c*ssa_c*g_c) and combine with the (g=0)
         # gas props in the g-point domain, exactly as the staged all-sky
@@ -101,7 +137,7 @@ def _sw_mega_kernel(nlay, ngpt, nf, n_cld, tile_c, k_min, eps, unroll,
     # clear-sky specialization keeps the _sw_two_stream_coeffs structure so
     # f32 results match the staged path -- g enters only via
     # folded-constant zero products).
-    if n_cld:
+    if n_cld or lut is not None:
         gamma1 = (8.0 - ssa * (5.0 + 3.0 * g)) * 0.25
         gamma2 = 3.0 * (ssa * (1.0 - g)) * 0.25
         gamma3 = (2.0 - 3.0 * mu0b * g) * 0.25
@@ -222,7 +258,10 @@ def sw_clearsky_megakernel(
     interpret: bool | None = None,
     cld_bands=None,   # (tau_c, tau_c*ssa_c, tau_c*ssa_c*g_c) each
                       #   (nlay, ncol, nband) DELTA-SCALED, or None
-    one_hot=None,     # (nband, ngpt) band->gpt map, required with cld_bands
+    one_hot=None,     # (nband, ngpt) band->gpt map, required with clouds
+    cld_fields=None,  # (lwp, iwp, rel, rei) each (nlay, ncol): in-kernel
+                      #   cloud-optics LUT path (needs cld_lut)
+    cld_lut=None,     # lw_megakernel.cloud_lut_pack(co) result
 ):
     """Fully fused SW pipeline: packed features in, broadband
     (ncol, nlay+1) (flux_up, flux_dn_total, flux_dn_dir) out, ONE Pallas
@@ -254,12 +293,25 @@ def sw_clearsky_megakernel(
 
     parts = [nn_inputs.astype(f32), col_dry.astype(f32)[..., None]]
     n_cld = 0
-    if cld_bands is not None:
+    lut_static = None
+    nband = 1
+    if cld_fields is not None:
+        if cld_lut is None:
+            raise ValueError("cld_fields requires cld_lut (cloud_lut_pack)")
+        liq3, ice3, geom = cld_lut
+        parts += [c.astype(f32)[..., None] for c in cld_fields]
+        lut_static = (liq3[0].shape[0], ice3[0].shape[0], *geom)
+        one_hot = jnp.asarray(one_hot, f32)
+        nband = one_hot.shape[0]
+    elif cld_bands is not None:
         n_cld = cld_bands[0].shape[-1]
         parts += [c.astype(f32) for c in cld_bands]
         one_hot = jnp.asarray(one_hot, f32)
     else:
         one_hot = jnp.zeros((1, ngpt), f32)  # unused placeholder block
+    if lut_static is None:
+        z = jnp.zeros((1, 1), f32)
+        liq3 = ice3 = (z, z, z)
     fused = jnp.concatenate(parts, axis=-1)  # ONE concat (see lw mega4)
     nfu = fused.shape[-1]
     mu0c = mu0.astype(f32)[:, None]
@@ -305,7 +357,7 @@ def sw_clearsky_megakernel(
                 rep((1, m.output_std.shape[0]))]
 
     kernel = functools.partial(
-        _sw_mega_kernel, nlay, ngpt, nf, n_cld, tile_c,
+        _sw_mega_kernel, nlay, ngpt, nband, nf, n_cld, lut_static, tile_c,
         float(config.k_min), float(np.finfo(np.float32).eps), unroll,
     )
     up, dn, dn_dir = pl.pallas_call(
@@ -316,6 +368,7 @@ def sw_clearsky_megakernel(
                          memory_space=pltpu.VMEM),
             col2(1), col2(ngpt), col2(ngpt), col2(ngpt), col2(ngpt),
             rep(one_hot.shape),
+            *(rep(t.shape) for t in (*liq3, *ice3)),
             *net_specs(abs_model), *net_specs(ray_model),
         ],
         out_specs=(out_bs, out_bs, out_bs),
@@ -334,6 +387,7 @@ def sw_clearsky_megakernel(
     )(
         fused, mu0c, inc_flux_dir.astype(f32), inc_flux_dif.astype(f32),
         sfc_alb_dir.astype(f32), sfc_alb_dif.astype(f32), one_hot,
+        *liq3, *ice3,
         *net_args(abs_model), *net_args(ray_model),
     )
     return up[:ncol], dn[:ncol], dn_dir[:ncol]
