@@ -23,6 +23,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 # Persistent XLA compile cache (see bench.py): tunnel compiles are slow.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
+from bench import ensure_live_backend  # noqa: E402  (tunnel-wedge guard)
+
 REF = "/root/reference"
 GARAND = os.path.join(REF, "examples/all-sky/garand-atmos-1.nc")
 LW_COEFFS = os.path.join(
@@ -39,6 +41,7 @@ def main() -> int:
                     help="auto = megakernel cores on TPU, staged elsewhere")
     args = ap.parse_args()
 
+    ensure_live_backend()
     import jax
     import jax.numpy as jnp
 
