@@ -1,0 +1,25 @@
+#!/bin/bash
+# Serial TPU measurement suite: run after any kernel/driver perf change.
+# The tunnel TPU is exclusive -- run this alone, in the foreground.
+# Results append to ${OUT:-/tmp/tpu_bench_results.jsonl} as JSON lines.
+set -u
+cd "$(dirname "$0")/.."
+OUT=${OUT:-/tmp/tpu_bench_results.jsonl}
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jaxcache}
+
+run() {
+  local label=$1; shift
+  echo "=== $label: $*" >&2
+  local t0=$SECONDS
+  local line
+  line=$(timeout "${STEP_TIMEOUT:-1200}" "$@" 2>/dev/null | tail -1)
+  local rc=$?
+  echo "{\"step\": \"$label\", \"rc\": $rc, \"wall_s\": $((SECONDS-t0)), \"result\": ${line:-null}}" >> "$OUT"
+  echo "$label rc=$rc ${line:0:160}" >&2
+}
+
+run clearsky_1800      python bench.py
+run allsky_1800        python scripts/bench_allsky.py
+run allsky_28800       python scripts/bench_allsky.py --ncol 28800
+run allsky_1800_staged python scripts/bench_allsky.py --core staged
+echo "done -> $OUT" >&2
