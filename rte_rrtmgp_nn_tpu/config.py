@@ -74,6 +74,22 @@ class RTEConfig:
 config = RTEConfig()
 
 
+def resolve_use_megakernel(lw: bool = False) -> bool:
+    """Single source of truth for the fused-megakernel dispatch used by
+    every driver: config.use_megakernel (None = auto: TPU backend only),
+    forced OFF for LW paths when a numerics flag the kernels hardcode is
+    set (fast_exponential / use_pade_source -- the staged cores honor
+    them; the megakernels bake the exact exp + linear-in-tau source)."""
+    import jax
+
+    use = config.use_megakernel
+    if use is None:
+        use = jax.default_backend() == "tpu"
+    if lw and (config.fast_exponential or config.use_pade_source):
+        return False
+    return bool(use)
+
+
 def set_checks(check_extents: bool | None = None, check_values: bool | None = None):
     """Reference parity: rte_rrtmgp_config_checks (mo_rte_rrtmgp_config.F90:43-61)."""
     if check_extents is not None:

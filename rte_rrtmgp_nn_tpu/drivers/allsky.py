@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import config
+from ..config import resolve_use_megakernel
 from ..fluxes import FluxesBroadband, reduce_broadband
 from ..gas_concs import GasConcs
 from ..gasoptics.nn_gas_optics import gas_optics_lw_nn, gas_optics_sw_nn
@@ -361,13 +361,8 @@ def allsky_lw(
     tsfc = atm.tlev[:, sfc_lev]
     emis = jnp.full((ncol, spectral.nband), 0.98, dtype)
 
-    use_mega = config.use_megakernel
-    if use_mega is None:
-        use_mega = jax.default_backend() == "tpu"
-    if (n_gauss_angles == 1 and scan_mode == "sequential" and use_mega
-            and dtype == jnp.float32
-            # mega4 hardcodes exact exp + linear-in-tau source (see rfmip)
-            and not config.fast_exponential and not config.use_pade_source):
+    if (n_gauss_angles == 1 and scan_mode == "sequential"
+            and resolve_use_megakernel(lw=True) and dtype == jnp.float32):
         fields, concs_t = canonicalize_allsky_inputs(
             atm.play, atm.plev, atm.tlay, atm.tlev, lwp, iwp, rel, rei,
             atm.gas_concs, top_at_1)
@@ -428,12 +423,10 @@ def allsky_sw(
     mu0 = jnp.full((ncol,), 0.86, dtype)
     alb = jnp.full((ncol, spectral.nband), 0.06, dtype)
 
-    use_mega = config.use_megakernel
-    if use_mega is None:
-        use_mega = jax.default_backend() == "tpu"
-    if scan_mode == "sequential" and use_mega and dtype == jnp.float32:
+    if (scan_mode == "sequential" and resolve_use_megakernel()
+            and dtype == jnp.float32):
         fields, concs_t = canonicalize_allsky_inputs(
-            atm.play, atm.plev, atm.tlay, atm.tlay, lwp, iwp, rel, rei,
+            atm.play, atm.plev, atm.tlay, atm.tlev, lwp, iwp, rel, rei,
             atm.gas_concs, top_at_1)
         fn = jax.jit(functools.partial(
             _allsky_sw_core_mega, models, spectral, solar, co,

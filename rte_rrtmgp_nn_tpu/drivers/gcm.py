@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import config
+from ..config import resolve_use_megakernel
 from ..drivers.rfmip import (
     _lw_core_lay_major,
     _lw_core_mega4_canon,
@@ -87,12 +87,7 @@ def gcm_sweep_allsky(
     solar = jnp.asarray(default_solar_source(sw_spec), dtype)
     gas_names = [k.split(":", 1)[1] for k in host if k.startswith("gas:")]
 
-    use_mega = config.use_megakernel
-    if use_mega is None:
-        use_mega = jax.default_backend() == "tpu"
-    # mega4 hardcodes exact exp + linear-in-tau source (see rfmip dispatch)
-    use_mega = (use_mega and not config.fast_exponential
-                and not config.use_pade_source)
+    use_mega = resolve_use_megakernel(lw=True)
 
     def step(play, plev, tlay, tlev, tsfc, emis, alb, mu0, lwp, iwp, rel, rei, *gas_vals):
         nlay = play.shape[1]
@@ -182,12 +177,7 @@ def gcm_sweep_lw(
     gas_names = [k.split(":", 1)[1] for k in host if k.startswith("gas:")]
     nband = spectral.nband
 
-    use_mega = config.use_megakernel
-    if use_mega is None:
-        use_mega = jax.default_backend() == "tpu"
-    # mega4 hardcodes exact exp + linear-in-tau source (see rfmip dispatch)
-    use_mega = (use_mega and not config.fast_exponential
-                and not config.use_pade_source)
+    use_mega = resolve_use_megakernel(lw=True)
 
     def step(play, plev, tlay, tlev, tsfc, emis, *gas_vals):
         nlay = play.shape[1]

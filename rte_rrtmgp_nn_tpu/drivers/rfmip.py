@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import config
+from ..config import config, resolve_use_megakernel
 from ..fluxes import FluxesBroadband
 from ..gas_concs import GasConcs
 from ..gasoptics.nn_gas_optics import gas_optics_lw_nn, gas_optics_sw_nn
@@ -433,15 +433,9 @@ def rfmip_clear_sky_lw(
     sfc_emis_band = jnp.broadcast_to(
         jnp.asarray(data.sfc_emis, dtype)[:, None], (data.ncol, spectral.nband)
     )
-    use_mega = config.use_megakernel
-    if use_mega is None:
-        use_mega = jax.default_backend() == "tpu"
-    if (n_gauss_angles == 1 and scan_mode == "sequential" and use_mega
-            and len(models) == 1 and dtype == jnp.float32
-            # the mega4 kernel hardcodes the exact exp and linear-in-tau
-            # source; honor the numerics flags by falling back to the
-            # staged core (which reads them) when either is set
-            and not config.fast_exponential and not config.use_pade_source):
+    if (n_gauss_angles == 1 and scan_mode == "sequential"
+            and resolve_use_megakernel(lw=True)
+            and len(models) == 1 and dtype == jnp.float32):
         # const_gas_names stays empty: routing the layer-constant gases
         # through a separate per-tile GEMM measured SLOWER (69.5 vs
         # 44.6 ms at 57.6k cols) and numerically noisier (bf16 grouping)
@@ -649,10 +643,8 @@ def rfmip_clear_sky_sw(
     mu0 = np.cos(np.deg2rad(data.sza))
     usecol = data.sza < 90.0 - 0.5 * np.finfo(np.float32).eps  # day columns
 
-    use_mega = config.use_megakernel
-    if use_mega is None:
-        use_mega = jax.default_backend() == "tpu"
-    if scan_mode == "sequential" and use_mega and dtype == jnp.float32:
+    if (scan_mode == "sequential" and resolve_use_megakernel()
+            and dtype == jnp.float32):
         play_t, plev_t, tlay_t, _, concs_t = canonicalize_rfmip_inputs(data)
         core = functools.partial(
             _sw_core_mega_canon, models, spectral,

@@ -113,10 +113,13 @@ jax.tree_util.register_dataclass(
 )
 
 
-def load_cloud_optics(path: str, dtype=jnp.float32) -> CloudOptics:
+def load_cloud_optics(path: str, dtype=jnp.float32,
+                      prefer: str = "lut") -> CloudOptics:
     """Load a cloud-optics coefficient file; auto-detects LUT vs Pade
     content (reference load_lut :91-173 / load_pade :179-301 dispatched by
-    mo_load_cloud_coefficients)."""
+    mo_load_cloud_coefficients). When a file carries BOTH parameterizations
+    ``prefer`` picks one ('lut' matches the reference's per-file-flavour
+    loaders; 'pade' forces the Pade approximants)."""
     with ncio.NCFile(path) as f:
         spectral = SpectralMapping.bands_only(f.read("bnd_limits_wavenumber"))
         kw = dict(
@@ -137,11 +140,13 @@ def load_cloud_optics(path: str, dtype=jnp.float32) -> CloudOptics:
             for name in ("pade_sizreg_extliq", "pade_sizreg_ssaliq", "pade_sizreg_asyliq",
                          "pade_sizreg_extice", "pade_sizreg_ssaice", "pade_sizreg_asyice"):
                 kw[name] = tuple(float(x) for x in f.read(name, np.float64))
-        # If both are present, prefer the LUT (matching the reference, which
-        # loads one or the other per file flavour).
+        # If both are present, keep the preferred one (default: LUT,
+        # matching the reference, which loads one or the other per file
+        # flavour).
         if "pade_extliq" in kw and "lut_extliq" in kw:
+            drop = "pade" if prefer == "lut" else "lut"
             for name in list(kw):
-                if name.startswith("pade"):
+                if name.startswith(drop):
                     del kw[name]
     return CloudOptics(**kw)
 
@@ -168,14 +173,9 @@ def _from_table(mask, wp_, re, offset, upr, ext_t, ssa_t, asy_t):
     m = mask[..., None]
 
     if dtype == jnp.float32:
-        cat = jnp.concatenate([ext_t.T, ssa_t.T, asy_t.T], axis=1)
-        dcat = jnp.concatenate(
-            [cat[1:] - cat[:-1], jnp.zeros((1, cat.shape[1]), cat.dtype)], 0)
-        cat2 = jnp.concatenate([cat, dcat], axis=1)  # (nsteps, 6*nband)
-        hi = cat2.astype(jnp.bfloat16).astype(dtype)
-        r1 = cat2 - hi
-        mid = r1.astype(jnp.bfloat16).astype(dtype)
-        lo = r1 - mid
+        from ..ops.table_split import paired_diff_table, split3_bf16
+
+        hi, mid, lo = split3_bf16(paired_diff_table(ext_t, ssa_t, asy_t))
         k = jax.lax.broadcasted_iota(
             jnp.int32, (*re.shape, nsteps), re.ndim)
         oh = (k == index[..., None]).astype(dtype)

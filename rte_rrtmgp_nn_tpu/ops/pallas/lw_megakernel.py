@@ -43,6 +43,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..table_split import paired_diff_table, split3_bf16
+
 
 def _softsign(x):
     return x / (1.0 + jnp.abs(x))
@@ -236,16 +238,8 @@ def planck_interp_table(totplnk):
     real RFMIP level temperatures; two terms leave 7.5e-6 relative, one
     term 3.8e-3). dtp zero-padded to ntab rows (row ntab-1 never picked:
     i0 <= ntab-2)."""
-    f32 = jnp.float32
-    tp = jnp.asarray(totplnk, f32)
-    nband = tp.shape[1]
-    dtp = jnp.concatenate([tp[1:] - tp[:-1], jnp.zeros((1, nband), f32)], 0)
-    cat = jnp.concatenate([tp, dtp], axis=1)          # (ntab, 2*nband)
-    hi = cat.astype(jnp.bfloat16).astype(f32)
-    r1 = cat - hi
-    mid = r1.astype(jnp.bfloat16).astype(f32)
-    lo = r1 - mid
-    return hi, mid, lo
+    tp = jnp.asarray(totplnk, jnp.float32)
+    return split3_bf16(paired_diff_table(tp.T))
 
 
 def _dot3split(x, oh):
@@ -255,10 +249,7 @@ def _dot3split(x, oh):
     gather to <=1 ulp (same trick as planck_interp_table, but for RUNTIME
     data instead of a constant table)."""
     f32 = jnp.float32
-    hi = x.astype(jnp.bfloat16).astype(f32)
-    r = x - hi
-    mid = r.astype(jnp.bfloat16).astype(f32)
-    lo = r - mid
+    hi, mid, lo = split3_bf16(x)
     return (jnp.dot(hi, oh, preferred_element_type=f32)
             + jnp.dot(mid, oh, preferred_element_type=f32)
             + jnp.dot(lo, oh, preferred_element_type=f32))
@@ -270,20 +261,8 @@ def cloud_lut_pack(co):
     bf16-representable terms (exact on the MXU, see planck_interp_table),
     plus the radius-grid geometry. co: extensions.cloud_optics.CloudOptics
     (LUT flavor; reference mo_cloud_optics.F90 compute_all_from_table)."""
-    f32 = jnp.float32
-
     def pack(ext, ssa, asy):
-        cat = jnp.concatenate(
-            [jnp.asarray(ext).T, jnp.asarray(ssa).T, jnp.asarray(asy).T],
-            axis=1).astype(f32)
-        dcat = jnp.concatenate(
-            [cat[1:] - cat[:-1], jnp.zeros((1, cat.shape[1]), f32)], 0)
-        cat2 = jnp.concatenate([cat, dcat], axis=1)  # (nsteps, 6*nband)
-        hi = cat2.astype(jnp.bfloat16).astype(f32)
-        r = cat2 - hi
-        mid = r.astype(jnp.bfloat16).astype(f32)
-        lo = r - mid
-        return hi, mid, lo
+        return split3_bf16(paired_diff_table(ext, ssa, asy))
 
     liq = pack(co.lut_extliq, co.lut_ssaliq, co.lut_asyliq)
     ice = pack(co.lut_extice[co.icergh - 1], co.lut_ssaice[co.icergh - 1],

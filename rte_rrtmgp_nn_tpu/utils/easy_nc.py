@@ -129,16 +129,28 @@ class EasyNC:
             return len(self._w.variables[name].shape)
         return len(self._r.var_dims(name))
 
+    def _var_shape(self, name: str) -> tuple:
+        if self._w is not None:
+            return tuple(self._w.variables[name].shape)
+        if self._r._h5 is not None:
+            return tuple(self._r._h5[name].shape)
+        return tuple(self._r._nc3.variables[name].shape)
+
+    def _var_dtype(self, name: str):
+        if self._w is not None:
+            d = self._w.variables[name].data.dtype
+        elif self._r._h5 is not None:
+            d = self._r._h5[name].dtype
+        else:
+            d = self._r._nc3.variables[name].data.dtype
+        return np.dtype(d).newbyteorder("=")
+
     def get_outer_dimension(self, name: str) -> int:
         """Length of the slowest-varying dimension, or -1 if absent
-        (F90:535-560)."""
+        (F90:535-560). Metadata-only: never loads the variable's data."""
         if not self.exists(name):
             return -1
-        shape = (
-            self._w.variables[name].shape
-            if self._w is not None
-            else self._r.read(name).shape
-        )
+        shape = self._var_shape(name)
         return int(shape[0]) if shape else 1
 
     def dim_size(self, name: str) -> int:
@@ -319,7 +331,12 @@ class EasyNC:
         perm = self._permute.get(arr.ndim)
         if perm is not None:
             arr = np.transpose(arr, perm)
-        if arr.dtype.kind == "f":
+        existing = self._w.variables.get(name)
+        if existing is not None:
+            # an already-defined variable's dtype wins (never silently
+            # truncate a float64 variable through the _double toggle)
+            arr = arr.astype(existing.data.dtype.newbyteorder("="))
+        elif arr.dtype.kind == "f":
             arr = arr.astype(np.float64 if self._double else np.float32)
         elif arr.dtype == np.int64:
             arr = arr.astype(np.int32)
@@ -353,14 +370,12 @@ class EasyNC:
             self.define_dimension(dname, dsize)
 
     def copy_variable_definition(self, src: "EasyNC", name: str) -> None:
-        """Copy a variable's dims + dtype + attributes (no data)."""
+        """Copy a variable's dims + dtype + attributes (no data read)."""
         self._require_write()
         dims = src._r.var_dims(name) if src._r is not None else src._w.variables[name].dimensions
-        sample = src.get(name)
-        arr = np.asarray(sample)
-        for d, n in zip(dims, arr.shape if arr.ndim else ()):
+        for d, n in zip(dims, src._var_shape(name)):
             self.define_dimension(d, n)
-        self.define_variable(name, dims, dtype=arr.dtype)
+        self.define_variable(name, dims, dtype=src._var_dtype(name))
         for attr in ("units", "long_name", "standard_name"):
             if src.attribute_exists(name, attr):
                 self.put_attribute(name, attr, src.get_attribute(name, attr))

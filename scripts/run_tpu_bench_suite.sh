@@ -11,9 +11,9 @@ run() {
   local label=$1; shift
   echo "=== $label: $*" >&2
   local t0=$SECONDS
-  local line
-  line=$(timeout "${STEP_TIMEOUT:-1200}" "$@" 2>/dev/null | tail -1)
-  local rc=$?
+  local line rc
+  line=$(set -o pipefail; timeout "${STEP_TIMEOUT:-1200}" "$@" 2>/dev/null | tail -1)
+  rc=$?
   echo "{\"step\": \"$label\", \"rc\": $rc, \"wall_s\": $((SECONDS-t0)), \"result\": ${line:-null}}" >> "$OUT"
   echo "$label rc=$rc ${line:0:160}" >&2
 }

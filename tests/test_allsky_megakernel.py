@@ -195,3 +195,65 @@ class TestGCMMegaSweep:
                                    top_at_1=base.top_at_1)
         for key in ("mean_olr", "mean_lw_sfc_dn", "mean_sw_sfc_dn"):
             assert got[key] == pytest.approx(ref[key], abs=2e-2), key
+
+
+class TestPadeBandLanePath:
+    """The Pade coefficient route exercises the megakernels' BAND-LANE
+    cloud inputs (cld_tau_band / cld_bands), which the default LUT route
+    bypasses (it runs the in-kernel LUT path)."""
+
+    def test_lw_pade_band_lanes_match_staged(self, garand):
+        from rte_rrtmgp_nn_tpu.extensions.cloud_optics import load_cloud_optics
+
+        spectral = lw_spectral_g128()
+        co = load_cloud_optics(CLW, prefer="pade")
+        assert not co.is_lut
+        table = PlanckTable.compute(spectral.band_lims_wvn_array)
+        models = [load_model_netcdf(D + "lw-g128-210809_both_BEST.nc")]
+        args, canon, top_at_1 = _common(garand, co)
+        sfc_lev = -1 if top_at_1 else 0
+        tsfc = jnp.asarray(garand.tlev[:, sfc_lev], jnp.float32)
+        emis = jnp.full((NCOL, spectral.nband), 0.98, jnp.float32)
+        kw = dict(args)
+        kw.update(tlev=jnp.asarray(garand.tlev, jnp.float32),
+                  tsfc=tsfc, emis_band=emis)
+        kwm = dict(canon)
+        kwm.update(tsfc=tsfc, emis_band=emis)
+
+        ref = _allsky_lw_core_lay_major(
+            models, table, spectral, co, top_at_1=top_at_1, **kw)
+        got = _allsky_lw_core_mega(
+            models, table, spectral, co, top_at_1=top_at_1, **kwm)
+        np.testing.assert_allclose(
+            np.asarray(got.flux_dn), np.asarray(ref.flux_dn),
+            rtol=2e-6, atol=5e-3)
+
+    def test_sw_pade_band_lanes_match_staged(self, garand):
+        from rte_rrtmgp_nn_tpu.extensions.cloud_optics import load_cloud_optics
+
+        spectral = sw_spectral_g112()
+        co = load_cloud_optics(CSW, prefer="pade")
+        assert not co.is_lut
+        models = [
+            load_model_netcdf(D + "sw-g112-210809_absorption_BEST.nc"),
+            load_model_netcdf(D + "sw-g112-210809_rayleigh_BEST.nc"),
+        ]
+        solar = jnp.asarray(default_solar_source(spectral), jnp.float32)
+        args, canon, top_at_1 = _common(garand, co)
+        mu0 = jnp.full((NCOL,), 0.86, jnp.float32)
+        alb = jnp.full((NCOL, spectral.nband), 0.06, jnp.float32)
+        kw = dict(args)
+        kw.update(mu0=mu0, sfc_alb_dir=alb, sfc_alb_dif=alb)
+        kwm = {k: v for k, v in canon.items() if k != "tlev_t"}
+        kwm.update(mu0=mu0, sfc_alb_dir=alb, sfc_alb_dif=alb)
+
+        ref = _allsky_sw_core_lay_major(
+            models, spectral, solar, co, top_at_1=top_at_1, **kw)
+        got = _allsky_sw_core_mega(
+            models, spectral, solar, co, top_at_1=top_at_1, **kwm)
+        np.testing.assert_allclose(
+            np.asarray(got.flux_dn), np.asarray(ref.flux_dn),
+            rtol=3e-6, atol=2e-2)
+        np.testing.assert_allclose(
+            np.asarray(got.flux_up), np.asarray(ref.flux_up),
+            rtol=3e-6, atol=2e-2)

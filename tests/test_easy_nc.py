@@ -141,3 +141,18 @@ class TestHDF5Read:
             assert not f.global_attribute_exists("nonexistent_attr")
             assert f.get_rank("nn_weights_1") >= 1
             assert f.get_outer_dimension("nonexistent") == -1
+
+
+def test_put_respects_defined_variable_dtype(tmp_path):
+    """put() must cast to an explicitly-defined variable's dtype, not the
+    global precision toggle (a float64 variable must keep full precision
+    even when double_precision() was never called)."""
+    path = str(tmp_path / "dtype.nc")
+    with EasyNC(path, "w") as f:
+        f.define_dimension("x", 1)
+        f.define_variable("v", ("x",), dtype=np.float64)
+        f.put("v", np.array([1.0 + 1e-12]))
+    with EasyNC(path) as f:
+        got = f.get("v")
+        assert got.dtype == np.float64
+        assert got[0] != 1.0  # the 1e-12 survived
