@@ -21,36 +21,81 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 
-def ensure_live_backend(probe_timeout_s: int = 180) -> None:
+LAST_GOOD_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "artifacts",
+    "last_tpu_bench.json")
+
+
+def ensure_live_backend(probe_timeout_s: int | None = None,
+                        budget_s: float | None = None) -> str:
     """The remote-TPU tunnel can wedge outright (backend init hangs forever
     in the PJRT client, unkillable in-process). Probe it in a SUBPROCESS
-    with a timeout; if it does not come up, force the CPU backend so the
-    bench still produces a (marked) result instead of hanging."""
+    with a timeout, and keep re-probing with backoff until ``budget_s`` is
+    exhausted (the tunnel often un-wedges after tens of minutes). If it
+    never comes up, force the CPU backend so the bench still produces a
+    (clearly marked) result instead of hanging.
+
+    Returns "tpu" (live), "cpu-requested" (CPU was asked for up front), or
+    "tpu-unreachable" (fell back to CPU after exhausting the budget).
+
+    Env knobs: BENCH_TPU_PROBE_TIMEOUT_S (per-probe, default 120),
+    BENCH_TPU_PROBE_BUDGET_S (total wait, default 1800)."""
     import subprocess
 
-    if os.environ.get("JAX_PLATFORMS", "") in ("cpu", ""):
-        return
-    try:
-        subprocess.run(
-            [sys.executable, "-c",
-             "import jax; jax.devices(); print(jax.default_backend())"],
-            timeout=probe_timeout_s, check=True, capture_output=True,
-        )
-    except Exception:
-        print(json.dumps({
-            "warning": "TPU backend unreachable (tunnel wedged); "
-                       "falling back to CPU for this run"
-        }), file=sys.stderr)
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        import jax
+    if probe_timeout_s is None:
+        probe_timeout_s = int(os.environ.get("BENCH_TPU_PROBE_TIMEOUT_S", 120))
+    if budget_s is None:
+        budget_s = float(os.environ.get("BENCH_TPU_PROBE_BUDGET_S", 1800))
 
-        jax.config.update("jax_platforms", "cpu")
+    if os.environ.get("JAX_PLATFORMS", "") in ("cpu", ""):
+        return "cpu-requested"
+
+    # The probe must also exercise a real device op: backend init can
+    # succeed while the first executable enqueue hangs.
+    probe_src = ("import jax, jax.numpy as jnp; jax.devices(); "
+                 "jnp.ones((8,128)).sum().block_until_ready(); "
+                 "print(jax.default_backend())")
+    deadline = time.time() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", probe_src],
+                timeout=probe_timeout_s, check=True, capture_output=True,
+            )
+            if b"tpu" in out.stdout:
+                return "tpu"
+        except Exception:
+            pass
+        remaining = deadline - time.time()
+        if remaining <= 0:
+            break
+        wait = min(120.0, max(15.0, remaining / 8), remaining)
+        print(json.dumps({
+            "probe_attempt": attempt,
+            "status": "tpu unreachable, retrying",
+            "next_probe_in_s": round(wait),
+            "budget_remaining_s": round(remaining),
+        }), file=sys.stderr)
+        time.sleep(wait)
+
+    print(json.dumps({
+        "warning": "TPU backend unreachable (tunnel wedged) after "
+                   f"{attempt} probes over {budget_s:.0f}s; "
+                   "falling back to CPU for this run"
+    }), file=sys.stderr)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    return "tpu-unreachable"
 
 BASELINE_COLS_PER_S = 1800.0 / (0.1834 + 0.2710)  # reference Intel CPU LW+SW
 
 
 def main() -> None:
-    ensure_live_backend()
+    backend_status = ensure_live_backend()
     import jax
     import jax.numpy as jnp
 
@@ -189,6 +234,24 @@ def main() -> None:
     mean_dn = float(np.mean(np.asarray(lw.flux_dn)))
     if not (102.0 < mean_dn < 105.0):
         result["warning"] = f"LW mean flux_dn {mean_dn:.3f} outside expected range"
+
+    if result["backend"] == "tpu":
+        # Record last-known-good so a future wedged-tunnel run can report
+        # honestly instead of emitting a bare CPU number as the artifact.
+        try:
+            os.makedirs(os.path.dirname(LAST_GOOD_PATH), exist_ok=True)
+            with open(LAST_GOOD_PATH, "w") as f:
+                json.dump(dict(result, captured_at=time.strftime(
+                    "%Y-%m-%dT%H:%M:%S")), f)
+        except OSError:
+            pass
+    elif backend_status == "tpu-unreachable":
+        result["tpu_unreachable"] = True
+        try:
+            with open(LAST_GOOD_PATH) as f:
+                result["last_known_good_tpu"] = json.load(f)
+        except (OSError, ValueError):
+            pass
     print(json.dumps(result))
 
 

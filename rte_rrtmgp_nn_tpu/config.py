@@ -74,18 +74,36 @@ class RTEConfig:
 config = RTEConfig()
 
 
-def resolve_use_megakernel(lw: bool = False) -> bool:
+def megakernel_model_ok(models) -> bool:
+    """The fused Pallas megakernels hardcode the shipped NN architecture:
+    exactly three dense layers, softsign hidden activations, linear output
+    (ops/pallas/lw_megakernel.py ``_mega4_kernel``, sw_megakernel). Any
+    other depth or activation must take the staged cores, which apply the
+    model generically (models/network.py NNModel.apply)."""
+    return all(
+        len(m.weights) == 3 and len(m.biases) == 3
+        and tuple(a.lower() for a in m.activations)
+        == ("softsign", "softsign", "linear")
+        for m in models
+    )
+
+
+def resolve_use_megakernel(lw: bool = False, models=None) -> bool:
     """Single source of truth for the fused-megakernel dispatch used by
     every driver: config.use_megakernel (None = auto: TPU backend only),
     forced OFF for LW paths when a numerics flag the kernels hardcode is
     set (fast_exponential / use_pade_source -- the staged cores honor
-    them; the megakernels bake the exact exp + linear-in-tau source)."""
+    them; the megakernels bake the exact exp + linear-in-tau source), and
+    forced OFF for any NN architecture the kernels don't hardcode
+    (``megakernel_model_ok``)."""
     import jax
 
     use = config.use_megakernel
     if use is None:
         use = jax.default_backend() == "tpu"
     if lw and (config.fast_exponential or config.use_pade_source):
+        return False
+    if models is not None and not megakernel_model_ok(models):
         return False
     return bool(use)
 

@@ -362,7 +362,8 @@ def allsky_lw(
     emis = jnp.full((ncol, spectral.nband), 0.98, dtype)
 
     if (n_gauss_angles == 1 and scan_mode == "sequential"
-            and resolve_use_megakernel(lw=True) and dtype == jnp.float32):
+            and resolve_use_megakernel(lw=True, models=models)
+            and len(models) == 1 and dtype == jnp.float32):
         fields, concs_t = canonicalize_allsky_inputs(
             atm.play, atm.plev, atm.tlay, atm.tlev, lwp, iwp, rel, rei,
             atm.gas_concs, top_at_1)
@@ -423,8 +424,9 @@ def allsky_sw(
     mu0 = jnp.full((ncol,), 0.86, dtype)
     alb = jnp.full((ncol, spectral.nband), 0.06, dtype)
 
-    if (scan_mode == "sequential" and resolve_use_megakernel()
-            and dtype == jnp.float32):
+    if (scan_mode == "sequential"
+            and resolve_use_megakernel(models=models)
+            and len(models) == 2 and dtype == jnp.float32):
         fields, concs_t = canonicalize_allsky_inputs(
             atm.play, atm.plev, atm.tlay, atm.tlev, lwp, iwp, rel, rei,
             atm.gas_concs, top_at_1)

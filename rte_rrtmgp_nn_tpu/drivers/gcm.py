@@ -87,7 +87,7 @@ def gcm_sweep_allsky(
     solar = jnp.asarray(default_solar_source(sw_spec), dtype)
     gas_names = [k.split(":", 1)[1] for k in host if k.startswith("gas:")]
 
-    use_mega = resolve_use_megakernel(lw=True)
+    use_mega = resolve_use_megakernel(lw=True, models=[*lw_models, *sw_models])
 
     def step(play, plev, tlay, tlev, tsfc, emis, alb, mu0, lwp, iwp, rel, rei, *gas_vals):
         nlay = play.shape[1]
@@ -177,7 +177,7 @@ def gcm_sweep_lw(
     gas_names = [k.split(":", 1)[1] for k in host if k.startswith("gas:")]
     nband = spectral.nband
 
-    use_mega = resolve_use_megakernel(lw=True)
+    use_mega = resolve_use_megakernel(lw=True, models=models)
 
     def step(play, plev, tlay, tlev, tsfc, emis, *gas_vals):
         nlay = play.shape[1]

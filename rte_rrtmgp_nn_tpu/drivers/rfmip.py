@@ -434,7 +434,7 @@ def rfmip_clear_sky_lw(
         jnp.asarray(data.sfc_emis, dtype)[:, None], (data.ncol, spectral.nband)
     )
     if (n_gauss_angles == 1 and scan_mode == "sequential"
-            and resolve_use_megakernel(lw=True)
+            and resolve_use_megakernel(lw=True, models=models)
             and len(models) == 1 and dtype == jnp.float32):
         # const_gas_names stays empty: routing the layer-constant gases
         # through a separate per-tile GEMM measured SLOWER (69.5 vs
@@ -643,8 +643,9 @@ def rfmip_clear_sky_sw(
     mu0 = np.cos(np.deg2rad(data.sza))
     usecol = data.sza < 90.0 - 0.5 * np.finfo(np.float32).eps  # day columns
 
-    if (scan_mode == "sequential" and resolve_use_megakernel()
-            and dtype == jnp.float32):
+    if (scan_mode == "sequential"
+            and resolve_use_megakernel(models=models)
+            and len(models) == 2 and dtype == jnp.float32):
         play_t, plev_t, tlay_t, _, concs_t = canonicalize_rfmip_inputs(data)
         core = functools.partial(
             _sw_core_mega_canon, models, spectral,
