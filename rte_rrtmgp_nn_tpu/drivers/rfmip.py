@@ -212,6 +212,88 @@ def _sw_core_mega_canon(
     )
 
 
+def _conc_shard_spec(concs_t):
+    """PartitionSpecs for a canonical (lay-major) gas dict: 2-D profiles
+    split over 'col' on axis 1, scalars replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    return {
+        k: (P(None, "col") if getattr(v, "ndim", 0) == 2 else P())
+        for k, v in concs_t.items()
+    }
+
+
+def lw_mega_core_sharded(mesh, models, planck_table, spectral, top_at_1,
+                         tile_c: int = 32):
+    """``_lw_core_mega4_canon`` wrapped in ``shard_map`` over the mesh's
+    'col' axis: every device runs the full fused Pallas megakernel on its
+    local column shard (columns are halo-free, so the hot path provably
+    contains no collective). This is how the megakernel era scales to a
+    multi-chip mesh -- GSPMD cannot partition an opaque ``pallas_call``,
+    so the SPMD boundary is drawn explicitly here.
+
+    Returns a jittable ``fn(play_t, plev_t, tlay_t, tlev_t, tsfc, emis,
+    concs_t) -> (flux_up, flux_dn)`` on canonical lay-major inputs
+    (``canonicalize_rfmip_inputs``); per-device column count must divide
+    into the inputs (pad with parallel.sharding.pad_to_multiple).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.shard_ops import shard_map
+
+    lay, col = P(None, "col"), P("col")
+
+    def body(play_t, plev_t, tlay_t, tlev_t, tsfc, emis, concs_t):
+        fb = _lw_core_mega4_canon(
+            models, planck_table, spectral,
+            play_t, plev_t, tlay_t, tlev_t, tsfc, emis, concs_t,
+            top_at_1=top_at_1, tile_c=tile_c,
+        )
+        return fb.flux_up, fb.flux_dn
+
+    def wrapped(play_t, plev_t, tlay_t, tlev_t, tsfc, emis, concs_t):
+        f = shard_map(
+            body, mesh=mesh,
+            in_specs=(lay, lay, lay, lay, col, col,
+                      _conc_shard_spec(concs_t)),
+            out_specs=(col, col), check_vma=False,
+        )
+        return f(play_t, plev_t, tlay_t, tlev_t, tsfc, emis, concs_t)
+
+    return wrapped
+
+
+def sw_mega_core_sharded(mesh, models, spectral, solar_source, top_at_1,
+                         tile_c: int = 48):
+    """``_sw_core_mega_canon`` under shard_map over 'col' (see
+    lw_mega_core_sharded). Returns a jittable ``fn(play_t, plev_t, tlay_t,
+    sfc_alb, mu0, usecol, tsi, concs_t) -> (flux_up, flux_dn, flux_dn_dir)``."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.shard_ops import shard_map
+
+    lay, col = P(None, "col"), P("col")
+
+    def body(play_t, plev_t, tlay_t, sfc_alb, mu0, usecol, tsi, concs_t):
+        fb = _sw_core_mega_canon(
+            models, spectral, solar_source,
+            play_t, plev_t, tlay_t, sfc_alb, mu0, usecol, tsi, concs_t,
+            top_at_1=top_at_1, tile_c=tile_c,
+        )
+        return fb.flux_up, fb.flux_dn, fb.flux_dn_dir
+
+    def wrapped(play_t, plev_t, tlay_t, sfc_alb, mu0, usecol, tsi, concs_t):
+        f = shard_map(
+            body, mesh=mesh,
+            in_specs=(lay, lay, lay, col, col, col, col,
+                      _conc_shard_spec(concs_t)),
+            out_specs=(col, col, col), check_vma=False,
+        )
+        return f(play_t, plev_t, tlay_t, sfc_alb, mu0, usecol, tsi, concs_t)
+
+    return wrapped
+
+
 def _lw_core(
     models: Sequence[NNModel],
     planck_table: PlanckTable,

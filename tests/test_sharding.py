@@ -151,6 +151,108 @@ class TestGCMSweep:
         assert stats["columns_per_s"] > 0
 
 
+class TestMegaSharding:
+    """The fused Pallas megakernel cores compose with shard_map over 'col'
+    (interpret mode on the virtual CPU mesh): sharded == unsharded.
+    VERDICT r2 item 3 -- this is the composition that must not break the
+    first day real multi-chip hardware appears."""
+
+    @pytest.fixture(scope="class")
+    def rfmip_block(self):
+        import os
+
+        p = ("/root/reference/examples/rfmip-clear-sky/"
+             "multiple_input4MIPs_radiation_RFMIP_UColorado-RFMIP-1-2_none.nc")
+        mdir = "/root/reference/neural/data/"
+        if not os.path.exists(p):
+            pytest.skip("RFMIP input not available")
+        from rte_rrtmgp_nn_tpu.drivers.rfmip_io import read_rfmip
+
+        return read_rfmip(p).block(0, 32), mdir
+
+    def test_lw_mega_shard_map_matches_unsharded(self, rfmip_block):
+        from rte_rrtmgp_nn_tpu.drivers.rfmip import (
+            _lw_core_mega4_canon,
+            canonicalize_rfmip_inputs,
+            lw_mega_core_sharded,
+        )
+        from rte_rrtmgp_nn_tpu.gasoptics.planck import (
+            PlanckTable,
+            lw_spectral_g128,
+        )
+        from rte_rrtmgp_nn_tpu.models.network import load_model_netcdf
+
+        data, mdir = rfmip_block
+        models = [load_model_netcdf(mdir + "lw-g128-210809_both_BEST.nc")]
+        spec = lw_spectral_g128()
+        table = PlanckTable.compute(spec.band_lims_wvn_array,
+                                    dtype=jnp.float32)
+        play_t, plev_t, tlay_t, tlev_t, concs_t = canonicalize_rfmip_inputs(
+            data)
+        tsfc = jnp.asarray(data.tsfc, jnp.float32)
+        emis = jnp.broadcast_to(
+            jnp.asarray(data.sfc_emis, jnp.float32)[:, None],
+            (data.ncol, spec.nband))
+        concs = {k: jnp.asarray(v, jnp.float32) for k, v in concs_t.items()}
+        args = (jnp.asarray(play_t), jnp.asarray(plev_t),
+                jnp.asarray(tlay_t), jnp.asarray(tlev_t), tsfc, emis, concs)
+
+        ref = jax.jit(functools.partial(
+            _lw_core_mega4_canon, models, table, spec,
+            top_at_1=data.top_at_1, tile_c=4))(*args)
+
+        mesh = make_mesh(n_col=8)
+        fn = jax.jit(lw_mega_core_sharded(
+            mesh, models, table, spec, top_at_1=data.top_at_1, tile_c=4))
+        up, dn = fn(*args)
+        np.testing.assert_allclose(np.asarray(up), np.asarray(ref.flux_up),
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dn), np.asarray(ref.flux_dn),
+                                   rtol=0, atol=1e-5)
+
+    def test_sw_mega_shard_map_matches_unsharded(self, rfmip_block):
+        from rte_rrtmgp_nn_tpu.drivers.rfmip import (
+            _sw_core_mega_canon,
+            canonicalize_rfmip_inputs,
+            default_solar_source,
+            sw_mega_core_sharded,
+        )
+        from rte_rrtmgp_nn_tpu.gasoptics.planck import sw_spectral_g112
+        from rte_rrtmgp_nn_tpu.models.network import load_model_netcdf
+
+        data, mdir = rfmip_block
+        models = [
+            load_model_netcdf(mdir + "sw-g112-210809_absorption_BEST.nc"),
+            load_model_netcdf(mdir + "sw-g112-210809_rayleigh_BEST.nc"),
+        ]
+        spec = sw_spectral_g112()
+        solar = jnp.asarray(default_solar_source(spec), jnp.float32)
+        play_t, plev_t, tlay_t, _, concs_t = canonicalize_rfmip_inputs(data)
+        mu0 = jnp.asarray(np.cos(np.deg2rad(data.sza)), jnp.float32)
+        usecol = jnp.asarray(data.sza < 90.0)
+        concs = {k: jnp.asarray(v, jnp.float32) for k, v in concs_t.items()}
+        args = (jnp.asarray(play_t), jnp.asarray(plev_t),
+                jnp.asarray(tlay_t),
+                jnp.asarray(data.sfc_alb, jnp.float32), mu0, usecol,
+                jnp.asarray(data.tsi, jnp.float32), concs)
+
+        ref = jax.jit(functools.partial(
+            _sw_core_mega_canon, models, spec, solar,
+            top_at_1=data.top_at_1, tile_c=4))(*args)
+
+        mesh = make_mesh(n_col=8)
+        fn = jax.jit(sw_mega_core_sharded(
+            mesh, models, spec, solar, top_at_1=data.top_at_1, tile_c=4))
+        up, dn, dn_dir = fn(*args)
+        np.testing.assert_allclose(np.asarray(up), np.asarray(ref.flux_up),
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dn), np.asarray(ref.flux_dn),
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dn_dir),
+                                   np.asarray(ref.flux_dn_dir),
+                                   rtol=0, atol=1e-5)
+
+
 class TestShardMap:
     """Explicit shard_map SPMD (parallel/shard_ops.py)."""
 
