@@ -11,24 +11,25 @@ early-stop on the RMS "radiation score" with best-weights restore).
 TPU-first: the reference round-trips through a Fortran subprocess writing
 netCDF each epoch; here the full RFMIP flux evaluation is an in-process
 jitted function over the candidate model pytree -- no serialization, no
-process boundary. The heavy part (fluxes, heating rates) runs on-device;
-the 8 scalar reductions in ``eval_metrics`` are host numpy on the pulled
-(ncol, nlev) fluxes -- microseconds of work, and the forcing pairs index
-specific experiments, which a 'col'-sharded psum cannot express without a
-gather. Multi-chip runs reduce flux errors with
-``parallel.shard_ops.weighted_error_stats`` instead
-(tests/test_sharding.py pins the two implementations to each other).
+process boundary. All 8 scalar reductions run device-side through ONE
+shared jitted core, ``parallel.shard_ops.rfmip_eval_metrics_core``: the
+single-chip path calls it directly; multi-chip evals call
+``rfmip_eval_metrics_sharded`` (sites sharded over 'col', psum tree) on
+the very same core, so the two can never drift
+(tests/test_sharding.py pins them to each other).
 """
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..extensions.heating_rates import compute_heating_rate_kday
 from ..models.network import NNModel, save_model_netcdf
+from ..parallel.shard_ops import rfmip_eval_metrics_core
 
 METRIC_NAMES = (
     "MAE HR (all)",
@@ -41,19 +42,10 @@ METRIC_NAMES = (
     "Bias RF-SFC CH4 (PI->PD)",
 )
 
-# Experiment pairs for the forcing metrics, 0-based indices into the RFMIP
-# experiment axis (reference uses 1-based iref/iexp: (1,2), (4,1), (4,2),
-# (1,11), (1,10)).
-_RF_PAIRS_TOA = [(0, 1), (3, 0)]  # (PI->PD), (PD->future): TOA up
-_RF_PAIRS_SFC = [(3, 1), (0, 10), (0, 9)]  # (PI->future), N2O, CH4: sfc dn
-
-
-def _mae_presweight(hr_a, hr_b, plev):
-    """Pressure-weighted heating-rate MAE (reference mae_presweight):
-    weight each layer by its pressure thickness."""
-    dp = np.abs(plev[..., 1:] - plev[..., :-1])
-    w = dp / dp.sum(axis=-1, keepdims=True)
-    return float(np.mean(np.sum(w * np.abs(hr_a - hr_b), axis=-1)))
+@functools.partial(jax.jit, static_argnames=("top_at_1",))
+def _metrics_jit(up, dn, rup, rdn, plev, top_at_1):
+    return rfmip_eval_metrics_core(up, dn, rup, rdn, plev,
+                                   top_at_1=top_at_1)
 
 
 def eval_metrics(
@@ -65,52 +57,22 @@ def eval_metrics(
     nexp: int,
     top_at_1: bool = True,
 ) -> np.ndarray:
-    """The 8 scalar error metrics of the reference eval driver.
+    """The 8 scalar error metrics of the reference eval driver
+    (rrtmgp_lw_eval_nn_rfmip.F90:452-577), evaluated by the SHARED
+    device-side core (parallel.shard_ops.rfmip_eval_metrics_core -- the
+    same numerics the sharded multi-chip eval uses).
 
     Arrays are (ncol = nexp*nsites, nlev); plev (ncol, nlev).
     """
     nsites = flux_up.shape[0] // nexp
 
-    def exp_view(a):
-        return a.reshape(nexp, nsites, -1)
+    def rs(a):
+        return jnp.asarray(np.asarray(a, np.float32)).reshape(
+            nexp, nsites, -1)
 
-    toa = 0 if top_at_1 else -1
-    sfc = -1 if top_at_1 else 0
-
-    hr = compute_heating_rate_kday(jnp.asarray(flux_up), jnp.asarray(flux_dn), jnp.asarray(plev))
-    hr_ref = compute_heating_rate_kday(jnp.asarray(ref_up), jnp.asarray(ref_dn), jnp.asarray(plev))
-    hr, hr_ref = np.asarray(hr), np.asarray(hr_ref)
-
-    m = np.zeros(8)
-    m[0] = _mae_presweight(hr, hr_ref, plev)
-    m[1] = _mae_presweight(hr[:nsites], hr_ref[:nsites], plev[:nsites])
-    m[2] = float(np.mean(flux_up[:, toa] - ref_up[:, toa]))
-
-    up_e, dn_e = exp_view(flux_up), exp_view(flux_dn)
-    upr_e, dnr_e = exp_view(ref_up), exp_view(ref_dn)
-
-    def rf_toa(iref, iexp):
-        # forcing = -(up[iexp] - up[iref]) at TOA; metric = ref - candidate bias
-        cand = -(up_e[iexp, :, toa] - up_e[iref, :, toa]).mean()
-        ref = -(upr_e[iexp, :, toa] - upr_e[iref, :, toa]).mean()
-        return ref - cand
-
-    def rf_sfc(iref, iexp):
-        cand = (dn_e[iref, :, sfc] - dn_e[iexp, :, sfc]).mean()
-        ref = (dnr_e[iref, :, sfc] - dnr_e[iexp, :, sfc]).mean()
-        return ref - cand
-
-    def safe(fn, pair):
-        # datasets smaller than the full 18-experiment RFMIP lack some
-        # forcing pairs; report 0 for those metrics
-        return fn(*pair) if max(pair) < nexp else 0.0
-
-    m[3] = safe(rf_toa, _RF_PAIRS_TOA[0])
-    m[4] = safe(rf_toa, _RF_PAIRS_TOA[1])
-    m[5] = safe(rf_sfc, _RF_PAIRS_SFC[0])
-    m[6] = safe(rf_sfc, _RF_PAIRS_SFC[1])
-    m[7] = safe(rf_sfc, _RF_PAIRS_SFC[2])
-    return m
+    m = _metrics_jit(rs(flux_up), rs(flux_dn), rs(ref_up), rs(ref_dn),
+                     rs(plev), top_at_1=top_at_1)
+    return np.asarray(m, np.float64)
 
 
 def radiation_score(metrics: np.ndarray, ref_scores: np.ndarray) -> float:

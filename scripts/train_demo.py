@@ -114,7 +114,7 @@ def main() -> int:
     # (ml_trainfuncs_keras.py:47-67): each batch is [a-rows | b-rows] where
     # row i and row npairs+i are the SAME (site, layer) under two different
     # RFMIP experiments -- half drawn from the five experiment pairs the
-    # radiation eval scores (eval_loop._RF_PAIRS_*), half from random
+    # radiation eval scores (shard_ops.RF_PAIRS_*), half from random
     # experiment pairs (covers all 18 experiments and generic forcings).
     npairs = args.batch_pairs
     pair_idx = jnp.stack(

@@ -298,3 +298,34 @@ class TestShardMap:
         assert abs(float(mae) - d.mean()) < 1e-4
         assert abs(float(rmse) - np.sqrt((d ** 2).mean())) < 1e-4
         assert abs(float(mx) - d.max()) < 1e-5
+
+    def test_eval_metrics_single_chip_equals_sharded(self):
+        """The single-chip eval loop and the distributed shard_map eval run
+        the SAME core (shard_ops.rfmip_eval_metrics_core): results must
+        agree to psum-tree reassociation tolerance. VERDICT r2 item 8."""
+        from rte_rrtmgp_nn_tpu.parallel.shard_ops import (
+            rfmip_eval_metrics_sharded,
+        )
+        from rte_rrtmgp_nn_tpu.parallel.sharding import make_mesh
+        from rte_rrtmgp_nn_tpu.training.eval_loop import eval_metrics
+
+        r = np.random.default_rng(3)
+        nexp, nsites, nlev = 12, 16, 13
+        ncol = nexp * nsites
+        plev_1d = np.linspace(100.0, 100000.0, nlev, dtype=np.float32)
+        plev = np.broadcast_to(plev_1d, (ncol, nlev)).copy()
+        ref_up = r.uniform(150, 400, (ncol, nlev)).astype(np.float32)
+        ref_dn = r.uniform(50, 350, (ncol, nlev)).astype(np.float32)
+        up = ref_up + r.normal(0, 0.5, ref_up.shape).astype(np.float32)
+        dn = ref_dn + r.normal(0, 0.5, ref_dn.shape).astype(np.float32)
+
+        single = eval_metrics(up, dn, ref_up, ref_dn, plev, nexp)
+
+        mesh = make_mesh(n_col=8)
+        rs = lambda a: jnp.asarray(a).reshape(nexp, nsites, nlev)
+        sharded = jax.jit(lambda *a: rfmip_eval_metrics_sharded(mesh, *a))(
+            rs(up), rs(dn), rs(ref_up), rs(ref_dn), rs(plev))
+        np.testing.assert_allclose(np.asarray(sharded), single,
+                                   rtol=2e-5, atol=2e-5)
+        # the metrics are non-trivial (not all zeros)
+        assert np.count_nonzero(single) >= 6
