@@ -322,7 +322,7 @@ def _planck_interp3(t_col, tp_hi, tp_mid, tp_lo, ntab, nband, t_min, t_delta):
 
 def _mega4_kernel(nlay, ngpt, nband, n2d, nc, ntab, n_cld, lut, tile_c,
                   d_secant, two_pi_w, tau_thresh, t_min, t_delta, unroll,
-                  fused_ref, const_ref, tsfc_ref, emis_ref,
+                  fused_ref, const_ref, tsfc_ref, tlevb_ref, emis_ref,
                   w1a_ref, w1c_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
                   omean_ref, ostd_ref, oh_ref, tphi_ref, tpmid_ref, tplo_ref,
                   cliq_hi, cliq_mid, cliq_lo, cice_hi, cice_mid, cice_lo,
@@ -330,10 +330,9 @@ def _mega4_kernel(nlay, ngpt, nband, n2d, nc, ntab, n_cld, lut, tile_c,
                   trans_scr, sdn_scr, sup_scr, dn_acc, up_acc):
     f32 = jnp.float32
     rows = nlay * tile_c
-    o_cd = n2d            # fused lanes: [x2d | col_dry | tlay | tlev_t | tlev_b]
+    o_cd = n2d            # fused lanes: [x2d | col_dry | tlay | tlev_t]
     o_tlay = n2d + 1
     o_top = n2d + 2
-    o_bot = n2d + 3
 
     tphi = tphi_ref[:, :]
     tpmid = tpmid_ref[:, :]
@@ -368,7 +367,7 @@ def _mega4_kernel(nlay, ngpt, nband, n2d, nc, ntab, n_cld, lut, tile_c,
         # expansion, all VMEM-resident (extensions/cloud_optics.py
         # _from_table + the as_2str=False combine, same groupings)
         n_liq, n_ice, liq_off, liq_step, ice_off, ice_step = lut
-        o_cld = o_bot + 1
+        o_cld = o_top + 1
         lt, lts, _ = _cloud_lut_interp(
             ff[:, o_cld:o_cld + 1], ff[:, o_cld + 2:o_cld + 3],
             cliq_hi[:, :], cliq_mid[:, :], cliq_lo[:, :],
@@ -383,7 +382,7 @@ def _mega4_kernel(nlay, ngpt, nband, n2d, nc, ntab, n_cld, lut, tile_c,
         # all-sky: fold the band-resolved cloud absorption tau into the gas
         # tau BEFORE the diffusivity scaling (same grouping as the staged
         # all-sky core: (tau_gas + expand(tau_cld)) * D)
-        o_cld = o_bot + 1
+        o_cld = o_top + 1
         tau_cld = _dot3split(ff[:, o_cld:o_cld + n_cld], oh)
         tl = ((y4 * y4) * ff[:, o_cd:o_cd + 1] + tau_cld) * d_secant
     else:
@@ -402,11 +401,13 @@ def _mega4_kernel(nlay, ngpt, nband, n2d, nc, ntab, n_cld, lut, tile_c,
                        preferred_element_type=f32)
     lev_t = pf * jnp.dot(interp(ff[:, o_top:o_top + 1]), oh,
                          preferred_element_type=f32)
-    pf_next = pltpu.roll(pf, rows - tile_c, axis=0)
-    ridx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-    pf_next = jnp.where(ridx >= (nlay - 1) * tile_c, pf, pf_next)
-    lev_b = pf_next * jnp.dot(interp(ff[:, o_bot:o_bot + 1]), oh,
-                              preferred_element_type=f32)
+    # lev_b(l) = pf(l+1) * B(tlev[l+1]) == lev_t(l+1) for l < nlay-1: ROLL
+    # the finished lev_t product one layer up instead of running a third
+    # full-width table interp + band->gpt dot (bit-exact: the same floats
+    # move rows). The bottom layer (level nlay, own pfrac -- reference
+    # mo_gas_optics_kernels.F90:676-683) is fixed up below with one
+    # (tile_c,)-row interp.
+    lev_b = pltpu.roll(lev_t, rows - tile_c, axis=0)
     one_m_t = 1.0 - trans
     two_fact = 2.0 * fact
     trans_scr[:, :, :] = trans.reshape(nlay, tile_c, ngpt)
@@ -414,7 +415,12 @@ def _mega4_kernel(nlay, ngpt, nband, n2d, nc, ntab, n_cld, lut, tile_c,
         nlay, tile_c, ngpt)
     sup_scr[:, :, :] = (one_m_t * lev_t + two_fact * (lay - lev_t)).reshape(
         nlay, tile_c, ngpt)
-    sfc_source = pf[(nlay - 1) * tile_c:, :] * jnp.dot(
+    bsl = slice((nlay - 1) * tile_c, None)
+    bot = pf[bsl] * jnp.dot(interp(tlevb_ref[:, :]), oh,
+                            preferred_element_type=f32)
+    sdn_scr[nlay - 1, :, :] = (one_m_t[bsl] * bot
+                               + two_fact[bsl] * (lay[bsl] - bot))
+    sfc_source = pf[bsl] * jnp.dot(
         interp(tsfc_ref[:, :]), oh, preferred_element_type=f32)
 
     # ---- phase B: top-down sweep (VPU, VMEM-resident) -------------------
@@ -473,11 +479,13 @@ def lw_clearsky_mega4(
     else in-kernel. Over mega3 it moves the Planck-table interpolation
     (exact three-term bf16 split, see planck_interp_table) into the
     kernel, so the staged XLA prep drops the three band-Planck interps and
-    shrinks the fused input from 67 lanes to n2d+4 (~22). Measured (full
-    sweep unroll, the TPU default): 2.15 ms at 1800 cols / 27.2 ms at 57.6k
-    (unroll=1: 2.72/44.8; staged 3.7/89.3, mega3 3.57/89.3) at
-    tile_c=32; tile 48+ exceeds VMEM (the (rows, ntab) one-hot interp
-    intermediates scale with the tile).
+    shrinks the fused input to n2d+3 (~21) lanes. Round 3 removes the
+    third in-kernel interp as well: lev_b is the lev_t product rolled one
+    layer (bit-exact, see _mega4_kernel), leaving two (rows, ntab) interp
+    intermediates -- which also cuts the VMEM pressure that capped the
+    tile at 32. Measured (full sweep unroll, the TPU default, 3-interp
+    variant): 2.15 ms at 1800 cols / 27.2 ms at 57.6k (unroll=1:
+    2.72/44.8; staged 3.7/89.3, mega3 3.57/89.3) at tile_c=32.
 
     The const_feats/w1c per-tile GEMM exists for MISSING gases (scenario
     reference VMRs). Routing the present-but-layer-constant gases through
@@ -521,7 +529,6 @@ def lw_clearsky_mega4(
             col_dry.astype(f32)[..., None],
             tlay.astype(f32)[..., None],
             tlev[:-1].astype(f32)[..., None],
-            tlev[1:].astype(f32)[..., None],
         ]
     else:
         nlay, ncol, n2d = x2d.shape
@@ -530,7 +537,6 @@ def lw_clearsky_mega4(
             col_dry.astype(f32)[..., None],
             tlay.astype(f32)[..., None],
             tlev[:-1].astype(f32)[..., None],
-            tlev[1:].astype(f32)[..., None],
         ]
     n_cld = 0
     lut_static = None
@@ -552,12 +558,14 @@ def lw_clearsky_mega4(
     nfu = fused.shape[-1]
     const_feats = const_feats.astype(f32)
     tsfc2 = tsfc.astype(f32)[:, None]
+    tlevb2 = tlev[-1].astype(f32)[:, None]  # bottom level for the fixup row
 
     cpad = (-ncol) % tile_c
     if cpad:
         fused = jnp.pad(fused, ((0, 0), (0, cpad), (0, 0)))
         const_feats = jnp.pad(const_feats, ((0, cpad), (0, 0)))
         tsfc2 = jnp.pad(tsfc2, ((0, cpad), (0, 0)))
+        tlevb2 = jnp.pad(tlevb2, ((0, cpad), (0, 0)))
         sfc_emis = jnp.pad(sfc_emis, ((0, cpad), (0, 0)))
     n = fused.shape[1]
     grid = (n // tile_c,)
@@ -587,7 +595,7 @@ def lw_clearsky_mega4(
         in_specs=[
             pl.BlockSpec((nlay, tile_c, nfu), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            col2(nc), col2(1), col2(ngpt),
+            col2(nc), col2(1), col2(1), col2(ngpt),
             rep(w1a.shape), rep(w1c.shape), rep((1, b1.shape[0])),
             rep(w2.shape), rep((1, b2.shape[0])),
             rep(w3.shape), rep((1, b3.shape[0])),
@@ -612,7 +620,7 @@ def lw_clearsky_mega4(
         ],
         interpret=interpret,
     )(
-        fused, const_feats, tsfc2, sfc_emis.astype(f32),
+        fused, const_feats, tsfc2, tlevb2, sfc_emis.astype(f32),
         w1a.astype(f32), w1c.astype(f32), row2(b1), w2.astype(f32), row2(b2),
         w3.astype(f32), row2(b3),
         row2(model.output_mean), row2(model.output_std),
