@@ -48,6 +48,11 @@ def ensure_live_backend(probe_timeout_s: int | None = None,
         budget_s = float(os.environ.get("BENCH_TPU_PROBE_BUDGET_S", 1800))
 
     if os.environ.get("JAX_PLATFORMS", "") in ("cpu", ""):
+        # The env var alone can lose to the preset axon plugin; pin the
+        # config too (same belt-and-braces as tests/conftest.py).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
         return "cpu-requested"
 
     # The probe must also exercise a real device op: backend init can

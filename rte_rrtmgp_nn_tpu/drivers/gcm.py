@@ -61,6 +61,19 @@ def synthesize_gcm_columns(base: RFMIPData, ncol_target: int, seed: int = 0) -> 
     return out
 
 
+def _warmup_stream(step_fn, arrays, block_size: int) -> None:
+    """Compile + run the streamed step once on block 0 so the timed sweep
+    measures steady-state throughput (not jit compile / cache-load)."""
+    blk = [np.ascontiguousarray(a[:block_size]) for a in arrays]
+    if blk[0].shape[0] < block_size:
+        blk = [
+            np.pad(a, [(0, block_size - a.shape[0])] + [(0, 0)] * (a.ndim - 1),
+                   mode="edge")
+            for a in blk
+        ]
+    jax.block_until_ready(step_fn(*[jax.device_put(a) for a in blk]))
+
+
 def gcm_sweep_allsky(
     host: dict,
     lw_models: Sequence[NNModel],
@@ -71,6 +84,7 @@ def gcm_sweep_allsky(
     mesh=None,
     top_at_1: bool = True,
     dtype=jnp.float32,
+    warmup: bool = False,
 ) -> dict:
     """Full LW+SW ALL-SKY streamed sweep (the BASELINE.json capstone
     config): NN gas optics + idealized clouds (drivers.allsky.make_clouds
@@ -146,9 +160,12 @@ def gcm_sweep_allsky(
               rel.astype(np.float32), rei.astype(np.float32)]
     arrays += [host[f"gas:{g}"] for g in gas_names]
 
+    step_fn = jax.jit(step)
+    if warmup:
+        _warmup_stream(step_fn, arrays, block_size)
     t0 = time.perf_counter()
     outs = stream_reduce(
-        jax.jit(step), arrays, block_size,
+        step_fn, arrays, block_size,
         lambda n: [np.zeros(n, np.float32) for _ in range(3)],
     )
     elapsed = time.perf_counter() - t0
@@ -170,6 +187,7 @@ def gcm_sweep_lw(
     mesh=None,
     top_at_1: bool = True,
     dtype=jnp.float32,
+    warmup: bool = False,
 ) -> dict:
     """Streamed LW sweep; returns throughput stats + host flux summaries."""
     spectral = lw_spectral_g128() if models[0].n_outputs in (256, 128) else None
@@ -202,17 +220,14 @@ def gcm_sweep_lw(
         # stream back only level-0/surface diagnostics to minimize D2H traffic
         return fb.flux_up[:, 0], fb.flux_dn[:, -1]
 
-    sharding = None
-    if mesh is not None:
-        sharding = column_sharding(mesh, 2)
-        step_fn = jax.jit(step)
-    else:
-        step_fn = jax.jit(step)
+    step_fn = jax.jit(step)
 
     arrays = [host["play"], host["plev"], host["tlay"], host["tlev"], host["tsfc"], host["sfc_emis"]]
     arrays += [host[f"gas:{g}"] for g in gas_names]
     ncol = host["play"].shape[0]
 
+    if warmup:
+        _warmup_stream(step_fn, arrays, block_size)
     t0 = time.perf_counter()
     outs = stream_reduce(
         step_fn, arrays, block_size,
