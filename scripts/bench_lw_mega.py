@@ -10,10 +10,14 @@ Prints per-variant ms/batch plus a flux parity check vs the staged core.
 from __future__ import annotations
 
 import functools
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 
 def main() -> None:

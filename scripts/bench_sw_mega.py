@@ -7,10 +7,14 @@ Usage: python scripts/bench_sw_mega.py [--mult N] [tile_c ...]
 from __future__ import annotations
 
 import functools
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 
 def main() -> None:
