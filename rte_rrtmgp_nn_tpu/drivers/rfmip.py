@@ -172,6 +172,53 @@ def _lw_core_mega4_canon(
     return FluxesBroadband(flux_up=up, flux_dn=dn, flux_net=dn - up)
 
 
+def _lw_core_mega5_canon(
+    models: Sequence[NNModel],
+    planck_table: PlanckTable,
+    spectral: SpectralMapping,
+    play_t, plev_t, tlay_t, tlev_t, tsfc, sfc_emis_band, concs_t,
+    top_at_1: bool,
+    tile_c: int = 128,
+):
+    """_lw_core_mega4_canon with the separate-raw-lane mega5 kernel: no
+    fused-input concat and no feature staging at all -- the jitted core's
+    only pre-kernel work is col_dry and the emissivity expand (see
+    ops/pallas/lw_megakernel.lw_clearsky_mega5)."""
+    from ..gasoptics.nn_gas_optics import (
+        compute_nn_inputs_split,
+        get_col_dry_lay_major,
+    )
+    from ..ops.pallas.lw_megakernel import lw_clearsky_mega5
+
+    gas_desc = GasConcs(concs_t)
+    nlay, ncol = play_t.shape
+    col_dry = get_col_dry_lay_major(
+        gas_desc.get_vmr("h2o", nlay, ncol), plev_t)
+    lanes, const_feats, perm, tf_codes, scale_rows = compute_nn_inputs_split(
+        play_t, tlay_t, gas_desc, models[0], (), lay_major=True,
+        raw_lanes=True)
+    n2d = len(lanes)
+    if models[0].input_names[perm[0]] != "tlay":
+        raise ValueError("mega5 requires 'tlay' as the first 2-D lane "
+                         f"(got {models[0].input_names[perm[0]]!r})")
+    w1 = models[0].weights[0]
+    w1a = w1[np.asarray(perm[:n2d])]
+    w1c = (w1[np.asarray(perm[n2d:])] if len(perm) > n2d
+           else jnp.zeros((1, w1.shape[1]), w1.dtype))
+    one_hot = jnp.asarray(
+        (spectral.gpt2band[None, :] == np.arange(spectral.nband)[:, None]),
+        lanes[0].dtype,
+    )
+    emis = spectral.expand(sfc_emis_band)
+    up, dn = lw_clearsky_mega5(
+        models[0], lanes, tf_codes, scale_rows, const_feats, w1a, w1c,
+        col_dry, tlev_t, tsfc, planck_table, one_hot, emis, tile_c=tile_c,
+    )
+    if not top_at_1:
+        up, dn = up[:, ::-1], dn[:, ::-1]
+    return FluxesBroadband(flux_up=up, flux_dn=dn, flux_net=dn - up)
+
+
 def _sw_core_mega_canon(
     models: Sequence[NNModel],
     spectral: SpectralMapping,
@@ -437,6 +484,42 @@ def _lw_core_mega4(
     if not top_at_1:
         up, dn = up[:, ::-1], dn[:, ::-1]
     return FluxesBroadband(flux_up=up, flux_dn=dn, flux_net=dn - up)
+
+
+def _lw_core_mega5(
+    models: Sequence[NNModel],
+    planck_table: PlanckTable,
+    spectral: SpectralMapping,
+    play, plev, tlay, tlev, tsfc, sfc_emis_band, concs_dict,
+    top_at_1: bool,
+    tile_c: int = 128,
+):
+    """Column-major front for the separate-raw-lane mega5 kernel (in-jit
+    transposes; see _lw_core_mega5_canon for the zero-copy canonical
+    path)."""
+    gas_desc = GasConcs(concs_dict)
+    ncol, nlay = play.shape
+    if not top_at_1:
+        play, tlay = play[:, ::-1], tlay[:, ::-1]
+        plev, tlev = plev[:, ::-1], tlev[:, ::-1]
+        concs_t = {
+            name: gas_desc.get_vmr(name, ncol, nlay)[:, ::-1].T
+            for name in gas_desc.concs
+        }
+    else:
+        concs_t = {
+            name: gas_desc.get_vmr(name, ncol, nlay).T
+            for name in gas_desc.concs
+        }
+    fb = _lw_core_mega5_canon(
+        models, planck_table, spectral, play.T, plev.T, tlay.T, tlev.T,
+        tsfc, sfc_emis_band, concs_t, top_at_1=True, tile_c=tile_c,
+    )
+    if not top_at_1:
+        return FluxesBroadband(flux_up=fb.flux_up[:, ::-1],
+                               flux_dn=fb.flux_dn[:, ::-1],
+                               flux_net=fb.flux_net[:, ::-1])
+    return fb
 
 
 def _lw_core_prep(

@@ -126,6 +126,7 @@ def compute_nn_inputs_split(
     model: NNModel,
     const_gas_names: Sequence[str] = (),
     lay_major: bool = False,
+    raw_lanes: bool = False,
 ):
     """compute_nn_inputs factored for the fused megakernels: features that
     vary per (layer, column) come out as layer-major lanes, features that
@@ -201,7 +202,28 @@ def compute_nn_inputs_split(
         idx2d.append(i)
 
     mn, mx = model.input_min, model.input_max
-    lanes2d = [(v - mn[i]) / (mx[i] - mn[i]) for v, i in zip(lanes2d, idx2d)]
+    if raw_lanes:
+        # mega5 mode: lanes stay RAW (pre-transform); the kernel applies
+        # transform-then-scale itself, so the features never materialize
+        # in HBM at all. tf codes: 0 = identity, 1 = log, 2 = sqrt(sqrt).
+        # Scaling inside the kernel is (tf(x) - mn) * inv with
+        # inv = 1/(mx - mn): <=1 ulp from the staged division.
+        raw, tf = [], []
+        for v, i in zip(lanes2d, idx2d):
+            name = model.input_names[i]
+            if name == "play":
+                raw.append(T(play)); tf.append(1)
+            elif name in ("h2o", "o3"):
+                raw.append(T(vmr(name))); tf.append(2)
+            else:
+                raw.append(v); tf.append(0)
+        ii = jnp.array(idx2d) if idx2d else jnp.array([], jnp.int32)
+        mn2 = mn[ii]
+        inv2 = 1.0 / (mx[ii] - mn[ii])
+        lanes2d = raw
+        scale_rows = jnp.stack([mn2, inv2], axis=0)  # (2, n2d)
+    else:
+        lanes2d = [(v - mn[i]) / (mx[i] - mn[i]) for v, i in zip(lanes2d, idx2d)]
     if consts:
         cf = jnp.stack(consts, axis=-1)
         cf = (cf - mn[jnp.array(idxc)]) / (
@@ -210,6 +232,8 @@ def compute_nn_inputs_split(
         # zero-width blocks are illegal in Mosaic: one dummy zero feature
         # (the matching w1c weight row must be zero-padded by the caller)
         cf = jnp.zeros((ncol, 1), play.dtype)
+    if raw_lanes:
+        return lanes2d, cf, idx2d + idxc, tuple(tf), scale_rows
     return lanes2d, cf, idx2d + idxc
 
 

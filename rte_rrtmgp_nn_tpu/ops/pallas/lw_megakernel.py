@@ -630,3 +630,292 @@ def lw_clearsky_mega4(
     return up[:ncol], dn[:ncol]
 
 
+def _mega5_kernel(nlay, ngpt, nband, n2d, nc, ntab, tf_codes, tile_c,
+                  d_secant, two_pi_w, tau_thresh, t_min, t_delta, unroll,
+                  mxu_trunc, *refs):
+    """mega5: separate RAW input lanes, transform+scale in-kernel.
+
+    refs layout (matches lw_clearsky_mega5's pallas_call):
+      lanes[n2d] (nlay, tile_c) raw | col_dry (nlay, tile_c) |
+      tlev (nlay+1, tile_c) | const (tile_c, nc) | tsfc (tile_c, 1) |
+      emis (tile_c, ngpt) | scale (2, n2d) [mn; inv] |
+      w1a (n2d, h) w1c b1 w2 b2 w3 b3 | omean ostd | one_hot |
+      tp_hi tp_mid tp_lo | outs up dn | scratch trans sdn sup dn_acc up_acc
+
+    Every elementwise stage runs on (nlay, tile_c, X) 3-D blocks so the
+    (nlay, tile_c) per-row quantities (col_dry, interp fractions) broadcast
+    over the lane axis with NO (rows, 1) relayouts; MXU dots see the free
+    (nlay*tile_c, X) collapse of the same buffers."""
+    f32 = jnp.float32
+    rows = nlay * tile_c
+    i = 0
+    lane_refs = refs[i:i + n2d]; i += n2d
+    cd_ref = refs[i]; i += 1
+    tlev_ref = refs[i]; i += 1
+    const_ref = refs[i]; i += 1
+    tsfc_ref = refs[i]; i += 1
+    emis_ref = refs[i]; i += 1
+    sc_ref = refs[i]; i += 1
+    (w1a_ref, w1c_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+     omean_ref, ostd_ref, oh_ref, tphi_ref, tpmid_ref, tplo_ref,
+     up_ref, dn_ref,
+     trans_scr, sdn_scr, sup_scr, dn_acc, up_acc) = refs[i:]
+
+    oh = oh_ref[:, :]
+    tphi = tphi_ref[:, :]
+    tpmid = tpmid_ref[:, :]
+    tplo = tplo_ref[:, :]
+
+    # ---- phase A1: first layer as rank-1 lane accumulation ---------------
+    # (no (rows, n2d) feature matrix is ever built: each raw lane is
+    # transformed, scaled, and folded into h3 with one VPU broadcast-fma)
+    hc = jnp.dot(const_ref[:, :], w1c_ref[:, :], preferred_element_type=f32)
+    h3 = jnp.broadcast_to(hc[None, :, :], (nlay, tile_c, hc.shape[-1]))
+    h3 = h3 + b1_ref[0, :][None, None, :]
+    bf = jnp.bfloat16
+    for l, code in enumerate(tf_codes):
+        x = lane_refs[l][:, :]                      # (nlay, tile_c) raw
+        if code == 1:
+            x = jnp.log(x)
+        elif code == 2:
+            x = jnp.sqrt(jnp.sqrt(x))
+        xs = (x - sc_ref[0, l]) * sc_ref[1, l]
+        wrow = w1a_ref[l, :]
+        if mxu_trunc:
+            # match the MXU paths (staged MLP / mega4): an f32 dot
+            # truncates its inputs to bf16, so the VPU rank-1 accumulation
+            # must round both operands identically or the **8 tau
+            # postprocessing turns the f32-vs-bf16 first layer into
+            # ~1 W/m2 flux disagreements (measured on chip; the full-f32
+            # variant is *more* accurate but inconsistent with every
+            # other path). Interpret-mode dots do NOT truncate, so the
+            # emulation is TPU-only -- each backend self-consistent.
+            xs = xs.astype(bf).astype(f32)
+            wrow = wrow.astype(bf).astype(f32)
+        h3 = h3 + xs[:, :, None] * wrow[None, None, :]
+    h = _softsign(h3.reshape(rows, h3.shape[-1]))
+    h = _softsign(jnp.dot(h, w2_ref[:, :], preferred_element_type=f32)
+                  + b2_ref[0, :])
+    y = jnp.dot(h, w3_ref[:, :], preferred_element_type=f32) + b3_ref[0, :]
+    yt = ostd_ref[0, :ngpt] * y[:, :ngpt] + omean_ref[0, :ngpt]
+    y2 = yt * yt
+    y4 = y2 * y2
+    tau8 = (y4 * y4).reshape(nlay, tile_c, ngpt)
+    tl = tau8 * (cd_ref[:, :] * d_secant)[:, :, None]
+    pf = y[:, ngpt:2 * ngpt]
+    pf3 = (pf * pf).reshape(nlay, tile_c, ngpt)
+
+    trans = jnp.exp(-tl)
+    tl_safe = jnp.where(tl > tau_thresh, tl, 1.0)
+    fact = jnp.where(
+        tl > tau_thresh,
+        (1.0 - trans) / tl_safe - trans,
+        tl * (0.5 - (1.0 / 3.0) * tl),
+    )
+
+    # ---- phase A2: Planck interpolation in 3-D (free collapses for dots) -
+    def interp3(t_ref, n0):
+        t3 = t_ref[:, :]                            # (n0, tile_c)
+        val0 = (t3 - t_min) / t_delta
+        tr = jnp.trunc(val0)
+        i0 = jnp.clip(tr, 0.0, float(ntab - 2))
+        frac = val0 - tr                            # (n0, tile_c)
+        k = jax.lax.broadcasted_iota(
+            jnp.int32, (n0, tile_c, ntab), 2).astype(f32)
+        oh0 = (k == i0[:, :, None]).astype(f32).reshape(n0 * tile_c, ntab)
+        g = (jnp.dot(oh0, tphi, preferred_element_type=f32)
+             + jnp.dot(oh0, tpmid, preferred_element_type=f32)
+             + jnp.dot(oh0, tplo, preferred_element_type=f32)
+             ).reshape(n0, tile_c, 2 * nband)
+        b = g[:, :, :nband] + frac[:, :, None] * g[:, :, nband:]
+        return jnp.dot(b.reshape(n0 * tile_c, nband), oh,
+                       preferred_element_type=f32).reshape(n0, tile_c, ngpt)
+
+    # tlay is lane 0 by construction (driver asserts input_names[0]=='tlay')
+    blay = interp3(lane_refs[0], nlay)
+    blev = interp3(tlev_ref, nlay + 1)              # all nlay+1 levels ONCE
+    lay = pf3 * blay
+    lev_t = pf3 * blev[:nlay]
+    # lev_b(l) = pf(l+1) * B(tlev[l+1]); bottom layer reuses its own pfrac
+    # (reference mo_gas_optics_kernels.F90:676-683)
+    pf_b = jnp.concatenate([pf3[1:], pf3[nlay - 1:nlay]], axis=0)
+    lev_b = pf_b * blev[1:]
+
+    one_m_t = 1.0 - trans
+    two_fact = 2.0 * fact
+    trans_scr[:, :, :] = trans
+    sdn_scr[:, :, :] = one_m_t * lev_b + two_fact * (lay - lev_b)
+    sup_scr[:, :, :] = one_m_t * lev_t + two_fact * (lay - lev_t)
+
+    # surface source: 2-D interp on the (tile_c, 1) surface temperature
+    sfc_source = pf3[nlay - 1] * jnp.dot(
+        _planck_interp3(tsfc_ref[:, :], tphi, tpmid, tplo,
+                        ntab, nband, t_min, t_delta),
+        oh, preferred_element_type=f32)
+
+    # ---- phase B: top-down sweep (VPU, VMEM-resident) -------------------
+    def down(l, rad):
+        rad = trans_scr[l] * rad + sdn_scr[l]
+        dn_acc[pl.ds(l + 1, 1), :] = (jnp.sum(rad, axis=1) * two_pi_w)[None, :]
+        return rad
+
+    rad = jnp.zeros((tile_c, ngpt), f32)
+    dn_acc[pl.ds(0, 1), :] = jnp.zeros((1, tile_c), f32)
+    rad = jax.lax.fori_loop(0, nlay, down, rad, unroll=unroll)
+
+    # ---- phase C: surface + bottom-up sweep ------------------------------
+    emis = emis_ref[:, :]
+    rad = rad * (1.0 - emis) + emis * sfc_source
+    up_acc[pl.ds(nlay, 1), :] = (jnp.sum(rad, axis=1) * two_pi_w)[None, :]
+
+    def up(i2, rad):
+        l = nlay - 1 - i2
+        rad = trans_scr[l] * rad + sup_scr[l]
+        up_acc[pl.ds(l, 1), :] = (jnp.sum(rad, axis=1) * two_pi_w)[None, :]
+        return rad
+
+    jax.lax.fori_loop(0, nlay, up, rad, unroll=unroll)
+
+    dn_ref[:, :] = jnp.transpose(dn_acc[:, :], (1, 0))
+    up_ref[:, :] = jnp.transpose(up_acc[:, :], (1, 0))
+
+
+def lw_clearsky_mega5(
+    model,
+    lanes,            # list of n2d RAW (nlay, ncol) layer-varying lanes;
+                      #   lanes[0] MUST be tlay (reused for the lay interp)
+    tf_codes,         # tuple of per-lane transforms: 0 id, 1 log, 2 x^1/4
+    scale_rows,       # (2, n2d) [input_min; 1/(max-min)] rows
+    const_feats,      # (ncol, nc) SCALED constant-per-column features
+    w1a,              # (n2d, h) first-layer weight rows for the lanes
+    w1c,              # (nc, h) first-layer weight rows for the const block
+    col_dry,          # (nlay, ncol)
+    tlev,             # (nlay+1, ncol) raw [K]
+    tsfc,             # (ncol,) raw [K]
+    planck_table,
+    one_hot,          # (nband, ngpt)
+    sfc_emis,         # (ncol, ngpt)
+    d_secant: float = 1.66,
+    weight: float = 0.5,
+    tile_c: int = 128,
+    unroll: int | None = None,
+    interpret: bool | None = None,
+):
+    """Fully fused LW pipeline, v5: SEPARATE raw input lanes.
+
+    mega4's single fused (nlay, ncol, ~22) input pays a hidden 6x HBM tax:
+    XLA tiles the minor two dims (8, 128), so 22 lanes pad to 128 -- the
+    staged concat writes ~1.8 GB at 57.6k columns and the kernel DMAs the
+    same padded bytes back in. mega5 passes each (nlay, ncol) lane as its
+    own well-tiled 2-D array (no concat, no pad) and moves the feature
+    transform+scaling INTO the kernel: the first MLP layer accumulates
+    rank-1 lane contributions on the VPU, so the (rows, n2d) feature
+    matrix never exists anywhere. The tlev lanes collapse into one
+    (nlay+1, ncol) ref interpolated once for all levels (lev_b = slice,
+    not roll+fixup). Physics identical to mega4 (same expressions; lane
+    scaling is sub-then-multiply, <=1 ulp vs the staged divide).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nlay, ncol = lanes[0].shape
+    n2d = len(lanes)
+    nc = const_feats.shape[-1]
+    nband, ngpt = one_hot.shape
+    f32 = jnp.float32
+    if unroll is None:
+        unroll = 1 if interpret else nlay
+    if not interpret and tile_c % 128:
+        # Mosaic requires 2-D block minor dims to be lane-aligned; full
+        # 128-lane tiles also make every lane DMA a whole-tile burst.
+        raise ValueError(f"mega5 tile_c must be a multiple of 128 on TPU "
+                         f"(got {tile_c})")
+    tp_hi, tp_mid, tp_lo = planck_interp_table(planck_table.totplnk)
+    ntab = tp_hi.shape[0]
+
+    lanes = [l.astype(f32) for l in lanes]
+    col_dry = col_dry.astype(f32)
+    tlev = tlev.astype(f32)
+    const_feats = const_feats.astype(f32)
+    tsfc2 = tsfc.astype(f32)[:, None]
+
+    cpad = (-ncol) % tile_c
+    if cpad:
+        pad2 = lambda a: jnp.pad(a, ((0, 0), (0, cpad)), mode="edge")
+        lanes = [pad2(l) for l in lanes]
+        col_dry = pad2(col_dry)
+        tlev = pad2(tlev)
+        const_feats = jnp.pad(const_feats, ((0, cpad), (0, 0)), mode="edge")
+        tsfc2 = jnp.pad(tsfc2, ((0, cpad), (0, 0)), mode="edge")
+        sfc_emis = jnp.pad(sfc_emis, ((0, cpad), (0, 0)))
+    n = lanes[0].shape[1]
+    grid = (n // tile_c,)
+
+    _, w2, w3 = model.weights
+    b1, b2, b3 = model.biases
+    row2 = lambda a: jnp.asarray(a, f32).reshape(1, -1)
+    tau_thresh = float(np.sqrt(np.finfo(np.float32).eps))
+    two_pi_w = 2.0 * np.pi * weight
+
+    lane_bs = pl.BlockSpec((nlay, tile_c), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+    lev_bs = pl.BlockSpec((nlay + 1, tile_c), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+    col2 = lambda d: pl.BlockSpec((tile_c, d), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    rep = lambda shp: pl.BlockSpec(shp, lambda i: (0,) * len(shp),
+                                   memory_space=pltpu.VMEM)
+    out_bs = pl.BlockSpec((tile_c, nlay + 1), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(
+        _mega5_kernel, nlay, ngpt, nband, n2d, nc, ntab, tuple(tf_codes),
+        tile_c, d_secant, two_pi_w, tau_thresh,
+        float(planck_table.temp_ref_min), float(planck_table.totplnk_delta),
+        unroll, not interpret,
+    )
+    up, dn = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            *([lane_bs] * n2d),
+            lane_bs,                 # col_dry
+            lev_bs,                  # tlev
+            col2(nc), col2(1), col2(ngpt),
+            rep((2, n2d)),
+            rep(w1a.shape), rep(w1c.shape), rep((1, b1.shape[0])),
+            rep(w2.shape), rep((1, b2.shape[0])),
+            rep(w3.shape), rep((1, b3.shape[0])),
+            rep((1, model.output_mean.shape[0])),
+            rep((1, model.output_std.shape[0])),
+            rep(one_hot.shape),
+            rep((ntab, 2 * nband)), rep((ntab, 2 * nband)),
+            rep((ntab, 2 * nband)),
+        ],
+        out_specs=(out_bs, out_bs),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, nlay + 1), f32),
+            jax.ShapeDtypeStruct((n, nlay + 1), f32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nlay, tile_c, ngpt), f32),
+            pltpu.VMEM((nlay, tile_c, ngpt), f32),
+            pltpu.VMEM((nlay, tile_c, ngpt), f32),
+            pltpu.VMEM((nlay + 1, tile_c), f32),
+            pltpu.VMEM((nlay + 1, tile_c), f32),
+        ],
+        # tile 128 needs ~3x the 16 MiB default Mosaic budget (scratch
+        # 11.3 MiB + interp one-hots); v5e has 128 MiB of VMEM per core
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        *lanes, col_dry, tlev, const_feats, tsfc2, sfc_emis.astype(f32),
+        jnp.asarray(scale_rows, f32),
+        w1a.astype(f32), w1c.astype(f32), row2(b1), w2.astype(f32), row2(b2),
+        w3.astype(f32), row2(b3),
+        row2(model.output_mean), row2(model.output_std),
+        one_hot.astype(f32), tp_hi, tp_mid, tp_lo,
+    )
+    return up[:ncol], dn[:ncol]
+
+

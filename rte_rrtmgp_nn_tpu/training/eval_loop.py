@@ -101,6 +101,7 @@ def train_with_radiation_eval(
     patience: int = 70,
     save_path: Optional[str] = None,
     verbose: bool = True,
+    ema_decay: Optional[float] = None,
 ) -> EarlyStopResult:
     """The training loop with per-epoch radiation evaluation.
 
@@ -109,15 +110,27 @@ def train_with_radiation_eval(
     (ml_trainfuncs_keras.py:126-209). If ``save_path``, the best model is
     written as a reference-format netCDF with the score in the filename
     (ml_train.py:493-517 naming convention).
+
+    ema_decay: if set (e.g. 0.999), evaluate/save a Polyak exponential
+    moving average of the weights instead of the raw iterate -- the
+    per-epoch radiation score is noisy near convergence (stochastic
+    expdiff pairs) and the averaged weights sit at the basin floor.
     """
     best = EarlyStopResult(state.model, np.inf, -1, [])
     bad_epochs = 0
+    ema = state.model if ema_decay else None
+    if ema_decay:
+        ema_step = jax.jit(lambda e, m: jax.tree_util.tree_map(
+            lambda a, b: ema_decay * a + (1.0 - ema_decay) * b, e, m))
     for epoch in range(n_epochs):
         loss = None
         for _ in range(steps_per_epoch):
             x, y = data_iter()
             state, loss = train_step(state, x, y)
-        metrics = eval_fn(state.model)
+            if ema_decay:
+                ema = ema_step(ema, state.model)
+        eval_model = ema if ema_decay else state.model
+        metrics = eval_fn(eval_model)
         score = radiation_score(metrics, ref_scores)
         best.history.append({"epoch": epoch, "loss": float(loss), "score": score,
                              "metrics": metrics.tolist()})
@@ -125,7 +138,7 @@ def train_with_radiation_eval(
             print(f"epoch {epoch}: loss {float(loss):.5f} radiation_score {score:.4f}")
         if score < best.best_score:
             best = dataclasses.replace(
-                best, best_model=state.model, best_score=score, best_epoch=epoch
+                best, best_model=eval_model, best_score=score, best_epoch=epoch
             )
             bad_epochs = 0
         else:

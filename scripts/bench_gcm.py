@@ -25,13 +25,10 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
-# The fused GCM step (in-jit canon + LW and SW megakernels in one program)
-# trips XLA's default 16 MiB scoped-vmem ceiling when layout assignment
-# parks a kernel output in VMEM for the consumer fusion. v5e has 128 MiB
-# of VMEM per core; give the scheduler room.
-if "xla_tpu_scoped_vmem_limit_kib" not in os.environ.get("XLA_FLAGS", ""):
-    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
-                               " --xla_tpu_scoped_vmem_limit_kib=47104").strip()
+# NOTE: do NOT put TPU backend flags in XLA_FLAGS here -- the local jaxlib
+# parses XLA_FLAGS strictly for the HOST compiler and aborts on unknown
+# flags (compiles happen server-side through the tunnel). Kernel VMEM
+# budgets are raised per-kernel via pltpu.CompilerParams instead.
 
 from bench import ensure_live_backend  # noqa: E402  (tunnel-wedge guard)
 

@@ -115,7 +115,10 @@ def main() -> None:
         print(f"staged lay-major (presrc): {t_p*1e3:8.3f} ms  "
               f"max|d_dn|={err:.2e}", flush=True)
 
-    cores = {"prep": _lw_core_prep, "mega4": _lw_core_mega4}
+    from rte_rrtmgp_nn_tpu.drivers.rfmip import _lw_core_mega5
+
+    cores = {"prep": _lw_core_prep, "mega4": _lw_core_mega4,
+             "mega5": _lw_core_mega5}
     for name in variants:
         if name in ("staged", "presrc"):
             continue

@@ -146,3 +146,97 @@ def test_numerics_flags_force_staged_fallback(rfmip_file):
     # and the Pade source actually changed the answer vs the default form
     exact = rfmip_clear_sky_lw(data, m)
     assert float(np.max(np.abs(exact.flux_dn - ref.flux_dn))) > 1e-4
+
+
+def test_mega5_matches_mega4(rfmip_file):
+    """mega5 (separate raw lanes, in-kernel transform+scale, single
+    (nlay+1)-level Planck interp) matches mega4 and the staged core on
+    real columns -- the lane scaling is sub-then-multiply (<=1 ulp vs the
+    staged divide), so agreement is at f32 accumulation-order level."""
+    import os
+
+    if not os.path.exists(MODEL):
+        pytest.skip("model not available")
+    from rte_rrtmgp_nn_tpu.drivers.rfmip import (
+        _lw_core_lay_major,
+        _lw_core_mega4_canon,
+        _lw_core_mega5_canon,
+        canonicalize_rfmip_inputs,
+    )
+
+    data = read_rfmip(rfmip_file).block(0, 24)
+    m = [load_model_netcdf(MODEL)]
+    spec = lw_spectral_g128()
+    table = PlanckTable.compute(spec.band_lims_wvn_array)
+    play_t, plev_t, tlay_t, tlev_t, concs_t = canonicalize_rfmip_inputs(data)
+    concs = {k: jnp.asarray(v, jnp.float32) for k, v in concs_t.items()}
+    emis = jnp.broadcast_to(
+        jnp.asarray(data.sfc_emis, jnp.float32)[:, None],
+        (data.ncol, spec.nband))
+    args = (jnp.asarray(play_t), jnp.asarray(plev_t), jnp.asarray(tlay_t),
+            jnp.asarray(tlev_t), jnp.asarray(data.tsfc, jnp.float32),
+            emis, concs)
+    fb4 = _lw_core_mega4_canon(m, table, spec, *args, top_at_1=data.top_at_1,
+                               tile_c=8)
+    fb5 = _lw_core_mega5_canon(m, table, spec, *args, top_at_1=data.top_at_1,
+                               tile_c=8)
+    np.testing.assert_allclose(
+        np.asarray(fb5.flux_up), np.asarray(fb4.flux_up), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(fb5.flux_dn), np.asarray(fb4.flux_dn), atol=2e-3)
+    # and against the fully staged lay-major core
+    stag = _lw_core_lay_major(
+        m, table, spec, jnp.asarray(data.play, jnp.float32),
+        jnp.asarray(data.plev, jnp.float32),
+        jnp.asarray(data.tlay, jnp.float32),
+        jnp.asarray(data.tlev, jnp.float32),
+        jnp.asarray(data.tsfc, jnp.float32), emis,
+        {k: jnp.asarray(v, jnp.float32)
+         for k, v in data.gas_concs.concs.items()},
+        top_at_1=data.top_at_1)
+    np.testing.assert_allclose(
+        np.asarray(fb5.flux_dn), np.asarray(stag.flux_dn), atol=3e-3)
+    np.testing.assert_allclose(
+        np.asarray(fb5.flux_up), np.asarray(stag.flux_up), atol=3e-3)
+
+
+def test_mega5_column_major_front(rfmip_file):
+    """The col-major _lw_core_mega5 wrapper (in-jit canon) matches the
+    canonical-input path bit-for-bit."""
+    import os
+
+    if not os.path.exists(MODEL):
+        pytest.skip("model not available")
+    from rte_rrtmgp_nn_tpu.drivers.rfmip import (
+        _lw_core_mega5,
+        _lw_core_mega5_canon,
+        canonicalize_rfmip_inputs,
+    )
+
+    data = read_rfmip(rfmip_file).block(0, 16)
+    m = [load_model_netcdf(MODEL)]
+    spec = lw_spectral_g128()
+    table = PlanckTable.compute(spec.band_lims_wvn_array)
+    emis = jnp.broadcast_to(
+        jnp.asarray(data.sfc_emis, jnp.float32)[:, None],
+        (data.ncol, spec.nband))
+    concs = {k: jnp.asarray(v, jnp.float32)
+             for k, v in data.gas_concs.concs.items()}
+    out = _lw_core_mega5(
+        m, table, spec, jnp.asarray(data.play, jnp.float32),
+        jnp.asarray(data.plev, jnp.float32),
+        jnp.asarray(data.tlay, jnp.float32),
+        jnp.asarray(data.tlev, jnp.float32),
+        jnp.asarray(data.tsfc, jnp.float32), emis, concs,
+        top_at_1=data.top_at_1, tile_c=8)
+    play_t, plev_t, tlay_t, tlev_t, concs_t = canonicalize_rfmip_inputs(data)
+    ref = _lw_core_mega5_canon(
+        m, table, spec, jnp.asarray(play_t), jnp.asarray(plev_t),
+        jnp.asarray(tlay_t), jnp.asarray(tlev_t),
+        jnp.asarray(data.tsfc, jnp.float32), emis,
+        {k: jnp.asarray(v, jnp.float32) for k, v in concs_t.items()},
+        top_at_1=data.top_at_1, tile_c=8)
+    np.testing.assert_array_equal(
+        np.asarray(out.flux_dn), np.asarray(ref.flux_dn))
+    np.testing.assert_array_equal(
+        np.asarray(out.flux_up), np.asarray(ref.flux_up))
