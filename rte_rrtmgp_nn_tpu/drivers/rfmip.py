@@ -179,6 +179,7 @@ def _lw_core_mega5_canon(
     play_t, plev_t, tlay_t, tlev_t, tsfc, sfc_emis_band, concs_t,
     top_at_1: bool,
     tile_c: int = 128,
+    mxu_first: bool = False,
 ):
     """_lw_core_mega4_canon with the separate-raw-lane mega5 kernel: no
     fused-input concat and no feature staging at all -- the jitted core's
@@ -213,6 +214,7 @@ def _lw_core_mega5_canon(
     up, dn = lw_clearsky_mega5(
         models[0], lanes, tf_codes, scale_rows, const_feats, w1a, w1c,
         col_dry, tlev_t, tsfc, planck_table, one_hot, emis, tile_c=tile_c,
+        mxu_first=mxu_first,
     )
     if not top_at_1:
         up, dn = up[:, ::-1], dn[:, ::-1]
@@ -493,6 +495,7 @@ def _lw_core_mega5(
     play, plev, tlay, tlev, tsfc, sfc_emis_band, concs_dict,
     top_at_1: bool,
     tile_c: int = 128,
+    mxu_first: bool = False,
 ):
     """Column-major front for the separate-raw-lane mega5 kernel (in-jit
     transposes; see _lw_core_mega5_canon for the zero-copy canonical
@@ -514,6 +517,7 @@ def _lw_core_mega5(
     fb = _lw_core_mega5_canon(
         models, planck_table, spectral, play.T, plev.T, tlay.T, tlev.T,
         tsfc, sfc_emis_band, concs_t, top_at_1=True, tile_c=tile_c,
+        mxu_first=mxu_first,
     )
     if not top_at_1:
         return FluxesBroadband(flux_up=fb.flux_up[:, ::-1],

@@ -618,6 +618,11 @@ def lw_clearsky_mega4(
             pltpu.VMEM((nlay + 1, tile_c), f32),
             pltpu.VMEM((nlay + 1, tile_c), f32),
         ],
+        # tiles > 32 exceed the 16 MiB default Mosaic budget (scratch +
+        # (rows, ntab) interp one-hots scale with the tile); v5e has
+        # 128 MiB of VMEM per core
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
         fused, const_feats, tsfc2, tlevb2, sfc_emis.astype(f32),
@@ -632,7 +637,7 @@ def lw_clearsky_mega4(
 
 def _mega5_kernel(nlay, ngpt, nband, n2d, nc, ntab, tf_codes, tile_c,
                   d_secant, two_pi_w, tau_thresh, t_min, t_delta, unroll,
-                  mxu_trunc, *refs):
+                  mxu_trunc, mxu_first, *refs):
     """mega5: separate RAW input lanes, transform+scale in-kernel.
 
     refs layout (matches lw_clearsky_mega5's pallas_call):
@@ -670,30 +675,47 @@ def _mega5_kernel(nlay, ngpt, nband, n2d, nc, ntab, tf_codes, tile_c,
     # (no (rows, n2d) feature matrix is ever built: each raw lane is
     # transformed, scaled, and folded into h3 with one VPU broadcast-fma)
     hc = jnp.dot(const_ref[:, :], w1c_ref[:, :], preferred_element_type=f32)
-    h3 = jnp.broadcast_to(hc[None, :, :], (nlay, tile_c, hc.shape[-1]))
-    h3 = h3 + b1_ref[0, :][None, None, :]
     bf = jnp.bfloat16
+    scaled = []
     for l, code in enumerate(tf_codes):
         x = lane_refs[l][:, :]                      # (nlay, tile_c) raw
         if code == 1:
             x = jnp.log(x)
         elif code == 2:
             x = jnp.sqrt(jnp.sqrt(x))
-        xs = (x - sc_ref[0, l]) * sc_ref[1, l]
-        wrow = w1a_ref[l, :]
-        if mxu_trunc:
-            # match the MXU paths (staged MLP / mega4): an f32 dot
-            # truncates its inputs to bf16, so the VPU rank-1 accumulation
-            # must round both operands identically or the **8 tau
-            # postprocessing turns the f32-vs-bf16 first layer into
-            # ~1 W/m2 flux disagreements (measured on chip; the full-f32
-            # variant is *more* accurate but inconsistent with every
-            # other path). Interpret-mode dots do NOT truncate, so the
-            # emulation is TPU-only -- each backend self-consistent.
-            xs = xs.astype(bf).astype(f32)
-            wrow = wrow.astype(bf).astype(f32)
-        h3 = h3 + xs[:, :, None] * wrow[None, None, :]
-    h = _softsign(h3.reshape(rows, h3.shape[-1]))
+        scaled.append((x - sc_ref[0, l]) * sc_ref[1, l])
+    if mxu_first:
+        # mega6: stack the scaled lanes into the (rows, n2d) feature
+        # matrix IN VMEM (a tile-local relayout, n2d * 60 KiB at tile
+        # 128) and run the first layer on the MXU exactly like mega4 /
+        # the staged MLP -- same dot, same bf16 truncation, so the
+        # numerics match the other paths without the per-lane rounding
+        # emulation the rank-1 form needs.
+        ff = jnp.stack(scaled, axis=-1).reshape(rows, n2d)
+        hc_rows = jnp.broadcast_to(
+            hc[None, :, :], (nlay, tile_c, hc.shape[-1])
+        ).reshape(rows, hc.shape[-1])
+        h = _softsign(jnp.dot(ff, w1a_ref[:, :], preferred_element_type=f32)
+                      + hc_rows + b1_ref[0, :])
+    else:
+        h3 = jnp.broadcast_to(hc[None, :, :], (nlay, tile_c, hc.shape[-1]))
+        h3 = h3 + b1_ref[0, :][None, None, :]
+        for l, xs in enumerate(scaled):
+            wrow = w1a_ref[l, :]
+            if mxu_trunc:
+                # match the MXU paths (staged MLP / mega4): an f32 dot
+                # truncates its inputs to bf16, so the VPU rank-1
+                # accumulation must round both operands identically or the
+                # **8 tau postprocessing turns the f32-vs-bf16 first layer
+                # into ~1 W/m2 flux disagreements (measured on chip; the
+                # full-f32 variant is *more* accurate but inconsistent with
+                # every other path). Interpret-mode dots do NOT truncate,
+                # so the emulation is TPU-only -- each backend
+                # self-consistent.
+                xs = xs.astype(bf).astype(f32)
+                wrow = wrow.astype(bf).astype(f32)
+            h3 = h3 + xs[:, :, None] * wrow[None, None, :]
+        h = _softsign(h3.reshape(rows, h3.shape[-1]))
     h = _softsign(jnp.dot(h, w2_ref[:, :], preferred_element_type=f32)
                   + b2_ref[0, :])
     y = jnp.dot(h, w3_ref[:, :], preferred_element_type=f32) + b3_ref[0, :]
@@ -800,6 +822,7 @@ def lw_clearsky_mega5(
     tile_c: int = 128,
     unroll: int | None = None,
     interpret: bool | None = None,
+    mxu_first: bool = False,
 ):
     """Fully fused LW pipeline, v5: SEPARATE raw input lanes.
 
@@ -871,7 +894,7 @@ def lw_clearsky_mega5(
         _mega5_kernel, nlay, ngpt, nband, n2d, nc, ntab, tuple(tf_codes),
         tile_c, d_secant, two_pi_w, tau_thresh,
         float(planck_table.temp_ref_min), float(planck_table.totplnk_delta),
-        unroll, not interpret,
+        unroll, not interpret, mxu_first,
     )
     up, dn = pl.pallas_call(
         kernel,

@@ -383,6 +383,11 @@ def sw_clearsky_megakernel(
             pltpu.VMEM((nlay + 1, tile_c), f32),
             pltpu.VMEM((nlay + 1, tile_c), f32),
         ],
+        # five (nlay, tile, ngpt) scratch buffers scale with the tile and
+        # exceed the 16 MiB default Mosaic budget past tile 48; v5e has
+        # 128 MiB of VMEM per core
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
         fused, mu0c, inc_flux_dir.astype(f32), inc_flux_dif.astype(f32),

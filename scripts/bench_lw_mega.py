@@ -118,7 +118,8 @@ def main() -> None:
     from rte_rrtmgp_nn_tpu.drivers.rfmip import _lw_core_mega5
 
     cores = {"prep": _lw_core_prep, "mega4": _lw_core_mega4,
-             "mega5": _lw_core_mega5}
+             "mega5": _lw_core_mega5,
+             "mega6": functools.partial(_lw_core_mega5, mxu_first=True)}
     for name in variants:
         if name in ("staged", "presrc"):
             continue

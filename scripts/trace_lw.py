@@ -6,9 +6,13 @@ Then summarize with scripts/trace_summarize.py.
 from __future__ import annotations
 
 import functools
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 
 def main() -> None:
