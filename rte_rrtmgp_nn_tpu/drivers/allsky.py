@@ -37,17 +37,29 @@ from .rfmip import default_solar_source, resolve_solar_source
 from ..extensions.cloud_optics import CloudOptics, cloud_optics
 
 
-def make_clouds(play: np.ndarray, tlay: np.ndarray, co: CloudOptics):
-    """Idealized cloud fields (reference rrtmgp_allsky.F90:329-350)."""
+def make_clouds(play, tlay, co: CloudOptics, cloud_col=None):
+    """Idealized cloud fields (reference rrtmgp_allsky.F90:329-350).
+
+    Works on host numpy arrays or device (jit-traced) arrays. ``cloud_col``
+    optionally supplies the per-column "2/3 of columns are cloudy" mask
+    (truthy = may hold cloud); streamed drivers pass the GLOBAL-index mask
+    so block decomposition does not change which columns are cloudy."""
+    xp = jnp if isinstance(play, jax.Array) else np
     ncol, nlay = play.shape
-    icol = np.arange(ncol)[:, None] + 1  # 1-based like the reference
-    cloud_mask = (play > 100.0 * 100.0) & (play < 900.0 * 100.0) & ((icol % 3) != 0)
+    if cloud_col is None:
+        icol = xp.arange(ncol)[:, None] + 1  # 1-based like the reference
+        cloud_col = (icol % 3) != 0
+    else:
+        cloud_col = (cloud_col > 0.5)
+        if cloud_col.ndim == 1:
+            cloud_col = cloud_col[:, None]
+    cloud_mask = (play > 100.0 * 100.0) & (play < 900.0 * 100.0) & cloud_col
     rel_val = 0.5 * (co.min_radius_liq + co.max_radius_liq)
     rei_val = 0.5 * (co.min_radius_ice + co.max_radius_ice)
-    lwp = np.where(cloud_mask & (tlay > 263.0), 10.0, 0.0)
-    iwp = np.where(cloud_mask & (tlay < 273.0), 10.0, 0.0)
-    rel = np.where(lwp > 0.0, rel_val, 0.0)
-    rei = np.where(iwp > 0.0, rei_val, 0.0)
+    lwp = xp.where(cloud_mask & (tlay > 263.0), 10.0, 0.0)
+    iwp = xp.where(cloud_mask & (tlay < 273.0), 10.0, 0.0)
+    rel = xp.where(lwp > 0.0, rel_val, 0.0)
+    rei = xp.where(iwp > 0.0, rei_val, 0.0)
     return lwp, iwp, rel, rei
 
 

@@ -9,6 +9,7 @@ analogue.
 """
 from __future__ import annotations
 
+import functools
 import time
 from typing import Sequence
 
@@ -61,6 +62,66 @@ def synthesize_gcm_columns(base: RFMIPData, ncol_target: int, seed: int = 0) -> 
     return out
 
 
+def _pack_columns(arrays: Sequence[np.ndarray]) -> tuple[np.ndarray, list[int]]:
+    """Fuse column-leading host arrays into ONE (ncol, K) float32 block.
+
+    The tunnel-attached TPU pays ~60-80 ms latency PER device_put (measured;
+    the unpacked ~22-array GCM block spent 1.4-1.9 s/block on transfer
+    enqueue vs ~55 ms for the same bytes in one array). Packing turns the
+    per-block transfer into a single contiguous put at wire bandwidth;
+    the step fn slices the lanes back out on device (roofline-trivial)."""
+    parts = [a[:, None] if a.ndim == 1 else a for a in arrays]
+    widths = [p.shape[1] for p in parts]
+    return (np.concatenate([p.astype(np.float32, copy=False) for p in parts],
+                           axis=1),
+            widths)
+
+
+def _unpack_columns(blk, widths: Sequence[int]) -> list:
+    """In-jit inverse of _pack_columns: static lane slices, width-1 lanes
+    squeeze back to (ncol,)."""
+    out, o = [], 0
+    for w in widths:
+        sl = blk[:, o:o + w]
+        out.append(sl[:, 0] if w == 1 else sl)
+        o += w
+    return out
+
+
+def _resident_reduce(step_fn, packed: np.ndarray, block_size: int,
+                     out_builder) -> tuple[list, float]:
+    """Device-RESIDENT block sweep: pre-stage every packed block in HBM,
+    force the (lazy, on the tunnel) transfers to materialize, then time the
+    pure dispatch->compute->fetch loop. This measures the >=1M-column
+    compute pipeline itself; the streamed path (stream_reduce) additionally
+    pays the host link, which on this environment is a ~45 MB/s tunnel
+    (measured) rather than a real host DMA. Returns (outs, elapsed_s)."""
+    import jax.numpy as jnp
+
+    from ..parallel.streaming import iter_blocks
+
+    ncol = packed.shape[0]
+    outs = out_builder(ncol)
+    blocks = list(iter_blocks(ncol, block_size))
+    dev = []
+    for start, size in blocks:
+        blk = packed[start:start + size]
+        if size < block_size:
+            blk = np.pad(blk, ((0, block_size - size), (0, 0)), mode="edge")
+        dev.append(jax.device_put(blk))
+    for d in dev:
+        float(jnp.sum(d))  # force the lazy tunnel transfer block by block
+    jax.block_until_ready(step_fn(dev[0]))  # compile + warm outside timer
+    t0 = time.perf_counter()
+    results = [step_fn(d) for d in dev]
+    fetched = [np.asarray(r) for r in results]  # fetch = the only true sync
+    elapsed = time.perf_counter() - t0
+    for (start, size), r in zip(blocks, fetched):
+        # step fns return ONE stacked (block, k) diagnostic array
+        outs[0][start:start + size] = r[:size]
+    return outs, elapsed
+
+
 def _warmup_stream(step_fn, arrays, block_size: int) -> None:
     """Compile + run the streamed step once on block 0 so the timed sweep
     measures steady-state throughput (not jit compile / cache-load)."""
@@ -85,6 +146,7 @@ def gcm_sweep_allsky(
     top_at_1: bool = True,
     dtype=jnp.float32,
     warmup: bool = False,
+    resident: bool = False,
 ) -> dict:
     """Full LW+SW ALL-SKY streamed sweep (the BASELINE.json capstone
     config): NN gas optics + idealized clouds (drivers.allsky.make_clouds
@@ -103,7 +165,13 @@ def gcm_sweep_allsky(
 
     use_mega = resolve_use_megakernel(lw=True, models=[*lw_models, *sw_models])
 
-    def step(play, plev, tlay, tlev, tsfc, emis, alb, mu0, lwp, iwp, rel, rei, *gas_vals):
+    def step(blk, widths):
+        (play, plev, tlay, tlev, tsfc, emis, alb, mu0, cloud_col,
+         *gas_vals) = _unpack_columns(blk, widths)
+        # cloud placement on DEVICE from the global-index mask lane: the
+        # four (ncol, nlay) cloud fields never cross the host link
+        lwp, iwp, rel, rei = make_clouds(play, tlay, cloud_lw,
+                                         cloud_col=cloud_col)
         nlay = play.shape[1]
         concs = {
             g: (v if v.ndim == 2 else jnp.broadcast_to(v[:, None], (v.shape[0], nlay)))
@@ -132,8 +200,10 @@ def gcm_sweep_allsky(
                 play_t, plev_t, tlay_t, mu0, alb_b, alb_b,
                 lwp_t, iwp_t, rel_t, rei_t, concs_t, top_at_1=top_at_1,
             )
-            return (fb_lw.flux_up[:, 0], fb_lw.flux_dn[:, -1],
-                    fb_sw.flux_dn[:, -1])
+            # one stacked (ncol, 3) output = ONE d2h fetch per block (the
+            # tunnel charges ~60 ms latency per fetch)
+            return jnp.stack([fb_lw.flux_up[:, 0], fb_lw.flux_dn[:, -1],
+                              fb_sw.flux_dn[:, -1]], axis=1)
         # layer-major cores (drivers.allsky): cloud optics folded into the
         # gas props in the g-point domain before the broadband solves, so
         # the in-scan spectral reduction survives clouds at GCM scale.
@@ -149,27 +219,28 @@ def gcm_sweep_allsky(
             play, plev, tlay, mu0, alb_b, alb_b, lwp, iwp, rel, rei, concs,
             top_at_1=top_at_1,
         )
-        return fb_lw.flux_up[:, 0], fb_lw.flux_dn[:, -1], fb_sw.flux_dn[:, -1]
+        return jnp.stack([fb_lw.flux_up[:, 0], fb_lw.flux_dn[:, -1],
+                          fb_sw.flux_dn[:, -1]], axis=1)
 
     ncol = host["play"].shape[0]
     mu0 = np.clip(np.cos(np.deg2rad(host["sza"])), 0.05, 1.0).astype(np.float32)
-    lwp, iwp, rel, rei = make_clouds(host["play"], host["tlay"], cloud_lw)
-    arrays = [host["play"], host["plev"], host["tlay"], host["tlev"], host["tsfc"],
-              host["sfc_emis"], host["sfc_alb"], mu0,
-              lwp.astype(np.float32), iwp.astype(np.float32),
-              rel.astype(np.float32), rei.astype(np.float32)]
-    arrays += [host[f"gas:{g}"] for g in gas_names]
+    cloud_col = (((np.arange(ncol) + 1) % 3) != 0).astype(np.float32)
+    packed, widths = _pack_columns(
+        [host["play"], host["plev"], host["tlay"], host["tlev"], host["tsfc"],
+         host["sfc_emis"], host["sfc_alb"], mu0, cloud_col]
+        + [host[f"gas:{g}"] for g in gas_names])
 
-    step_fn = jax.jit(step)
-    if warmup:
-        _warmup_stream(step_fn, arrays, block_size)
-    t0 = time.perf_counter()
-    outs = stream_reduce(
-        step_fn, arrays, block_size,
-        lambda n: [np.zeros(n, np.float32) for _ in range(3)],
-    )
-    elapsed = time.perf_counter() - t0
-    olr, lw_sfc_dn, sw_sfc_dn = outs
+    step_fn = jax.jit(functools.partial(step, widths=tuple(widths)))
+    builder = lambda n: [np.zeros((n, 3), np.float32)]
+    if resident:
+        outs, elapsed = _resident_reduce(step_fn, packed, block_size, builder)
+    else:
+        if warmup:
+            _warmup_stream(step_fn, [packed], block_size)
+        t0 = time.perf_counter()
+        outs = stream_reduce(step_fn, [packed], block_size, builder)
+        elapsed = time.perf_counter() - t0
+    olr, lw_sfc_dn, sw_sfc_dn = outs[0].T
     return {
         "ncol": ncol,
         "elapsed_s": elapsed,
@@ -188,6 +259,7 @@ def gcm_sweep_lw(
     top_at_1: bool = True,
     dtype=jnp.float32,
     warmup: bool = False,
+    resident: bool = False,
 ) -> dict:
     """Streamed LW sweep; returns throughput stats + host flux summaries."""
     spectral = lw_spectral_g128() if models[0].n_outputs in (256, 128) else None
@@ -197,7 +269,9 @@ def gcm_sweep_lw(
 
     use_mega = resolve_use_megakernel(lw=True, models=models)
 
-    def step(play, plev, tlay, tlev, tsfc, emis, *gas_vals):
+    def step(blk, widths):
+        play, plev, tlay, tlev, tsfc, emis, *gas_vals = _unpack_columns(
+            blk, widths)
         nlay = play.shape[1]
         concs = {
             g: (v if v.ndim == 2 else jnp.broadcast_to(v[:, None], (v.shape[0], nlay)))
@@ -217,25 +291,30 @@ def gcm_sweep_lw(
                 models, table, spectral, play, plev, tlay, tlev, tsfc,
                 emis_b, concs, top_at_1=top_at_1,
             )
-        # stream back only level-0/surface diagnostics to minimize D2H traffic
-        return fb.flux_up[:, 0], fb.flux_dn[:, -1]
+        # stream back only level-0/surface diagnostics, stacked into ONE
+        # (ncol, 2) fetch, to minimize D2H traffic + per-fetch latency
+        return jnp.stack([fb.flux_up[:, 0], fb.flux_dn[:, -1]], axis=1)
 
-    step_fn = jax.jit(step)
-
-    arrays = [host["play"], host["plev"], host["tlay"], host["tlev"], host["tsfc"], host["sfc_emis"]]
-    arrays += [host[f"gas:{g}"] for g in gas_names]
+    packed, widths = _pack_columns(
+        [host["play"], host["plev"], host["tlay"], host["tlev"],
+         host["tsfc"], host["sfc_emis"]]
+        + [host[f"gas:{g}"] for g in gas_names])
+    step_fn = jax.jit(functools.partial(step, widths=tuple(widths)))
     ncol = host["play"].shape[0]
 
-    if warmup:
-        _warmup_stream(step_fn, arrays, block_size)
-    t0 = time.perf_counter()
-    outs = stream_reduce(
-        step_fn, arrays, block_size,
-        lambda n: [np.zeros(n, np.float32), np.zeros(n, np.float32)],
-        sharding=None if mesh is None else column_sharding(mesh, 2),
-    )
-    elapsed = time.perf_counter() - t0
-    olr, sfc_dn = outs
+    builder = lambda n: [np.zeros((n, 2), np.float32)]
+    if resident:
+        outs, elapsed = _resident_reduce(step_fn, packed, block_size, builder)
+    else:
+        if warmup:
+            _warmup_stream(step_fn, [packed], block_size)
+        t0 = time.perf_counter()
+        outs = stream_reduce(
+            step_fn, [packed], block_size, builder,
+            sharding=None if mesh is None else column_sharding(mesh, 2),
+        )
+        elapsed = time.perf_counter() - t0
+    olr, sfc_dn = outs[0].T
     return {
         "ncol": ncol,
         "elapsed_s": elapsed,

@@ -136,6 +136,7 @@ def _lw_core_mega4_canon(
     play_t, plev_t, tlay_t, tlev_t, tsfc, sfc_emis_band, concs_t,
     top_at_1: bool,
     tile_c: int = 32,
+    sweep_stored: bool = False,
 ):
     """_lw_core_mega4 on CANONICAL lay-major top-at-0 inputs
     (canonicalize_rfmip_inputs): the jitted core emits no flip/transpose
@@ -166,6 +167,7 @@ def _lw_core_mega4_canon(
     up, dn = lw_clearsky_mega4(
         models[0], x2d, const_feats, w1a, w1c, col_dry,
         tlay_t, tlev_t, tsfc, planck_table, one_hot, emis, tile_c=tile_c,
+        sweep_stored=sweep_stored,
     )
     if not top_at_1:
         up, dn = up[:, ::-1], dn[:, ::-1]
@@ -228,6 +230,7 @@ def _sw_core_mega_canon(
     play_t, plev_t, tlay_t, sfc_alb, mu0, usecol, tsi, concs_t,
     top_at_1: bool,
     tile_c: int = 48,
+    sweep_stored: bool = False,
 ):
     """_sw_core_mega on CANONICAL lay-major top-at-0 inputs (see
     canonicalize_rfmip_inputs / _lw_core_mega4_canon)."""
@@ -740,6 +743,7 @@ def _sw_core_mega(
     play, plev, tlay, sfc_alb, mu0, usecol, tsi, concs_dict,
     top_at_1: bool,
     tile_c: int = 64,
+    sweep_stored: bool = False,
 ):
     """Fully-fused SW core (ops/pallas/sw_megakernel.sw_clearsky_megakernel):
     both NN nets, the PIFM two-stream coefficients, the direct beam, and
@@ -776,6 +780,7 @@ def _sw_core_mega(
     up, dn, dn_dir = sw_clearsky_megakernel(
         models[0], models[1], x, col_dry_t, mu0_safe,
         toa_src * mu0_safe[:, None], alb_gpt, alb_gpt, tile_c=tile_c,
+        sweep_stored=sweep_stored,
     )
     if not top_at_1:
         up, dn, dn_dir = up[:, ::-1], dn[:, ::-1], dn_dir[:, ::-1]

@@ -322,6 +322,7 @@ def _planck_interp3(t_col, tp_hi, tp_mid, tp_lo, ntab, nband, t_min, t_delta):
 
 def _mega4_kernel(nlay, ngpt, nband, n2d, nc, ntab, n_cld, lut, tile_c,
                   d_secant, two_pi_w, tau_thresh, t_min, t_delta, unroll,
+                  sweep_stored,
                   fused_ref, const_ref, tsfc_ref, tlevb_ref, emis_ref,
                   w1a_ref, w1c_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
                   omean_ref, ostd_ref, oh_ref, tphi_ref, tpmid_ref, tplo_ref,
@@ -423,6 +424,43 @@ def _mega4_kernel(nlay, ngpt, nband, n2d, nc, ntab, n_cld, lut, tile_c,
     sfc_source = pf[bsl] * jnp.dot(
         interp(tsfc_ref[:, :]), oh, preferred_element_type=f32)
 
+    if sweep_stored:
+        # ---- stored-sweep variant: the per-step cross-lane jnp.sum is
+        # hoisted out of the recurrence. Each sweep overwrites its (dead
+        # after use) source scratch with the spectral radiance, and the
+        # broadband reduction runs ONCE over the whole (nlay, tile, ngpt)
+        # block after the loop -- identical floats summed over the same
+        # lane axis, so bit-exact vs the fused form; the loop body shrinks
+        # to one fma per layer.
+        def down_s(l, rad):
+            rad = trans_scr[l] * rad + sdn_scr[l]
+            sdn_scr[l] = rad
+            return rad
+
+        rad = jnp.zeros((tile_c, ngpt), f32)
+        rad = jax.lax.fori_loop(0, nlay, down_s, rad, unroll=unroll)
+        dn_acc[pl.ds(0, 1), :] = jnp.zeros((1, tile_c), f32)
+        dn_acc[pl.ds(1, nlay), :] = jnp.sum(
+            sdn_scr[:, :, :], axis=2) * two_pi_w
+
+        emis = emis_ref[:, :]
+        rad = rad * (1.0 - emis) + emis * sfc_source
+        up_acc[pl.ds(nlay, 1), :] = (jnp.sum(rad, axis=1) * two_pi_w)[None, :]
+
+        def up_s(i, rad):
+            l = nlay - 1 - i
+            rad = trans_scr[l] * rad + sup_scr[l]
+            sup_scr[l] = rad
+            return rad
+
+        jax.lax.fori_loop(0, nlay, up_s, rad, unroll=unroll)
+        up_acc[pl.ds(0, nlay), :] = jnp.sum(
+            sup_scr[:, :, :], axis=2) * two_pi_w
+
+        dn_ref[:, :] = jnp.transpose(dn_acc[:, :], (1, 0))
+        up_ref[:, :] = jnp.transpose(up_acc[:, :], (1, 0))
+        return
+
     # ---- phase B: top-down sweep (VPU, VMEM-resident) -------------------
     def down(l, rad):
         rad = trans_scr[l] * rad + sdn_scr[l]
@@ -474,6 +512,7 @@ def lw_clearsky_mega4(
     cld_fields=None,    # (lwp, iwp, rel, rei) each (nlay, ncol): in-kernel
                         #   cloud-optics LUT path (needs cld_lut)
     cld_lut=None,       # cloud_lut_pack(co) result for cld_fields
+    sweep_stored: bool = False,  # hoist broadband sums out of the sweeps
 ):
     """Fully fused LW clear-sky pipeline, v4: thin-lane inputs, everything
     else in-kernel. Over mega3 it moves the Planck-table interpolation
@@ -587,7 +626,7 @@ def lw_clearsky_mega4(
         _mega4_kernel, nlay, ngpt, nband, n2d, nc, ntab, n_cld, lut_static,
         tile_c, d_secant, two_pi_w, tau_thresh,
         float(planck_table.temp_ref_min), float(planck_table.totplnk_delta),
-        unroll,
+        unroll, sweep_stored,
     )
     up, dn = pl.pallas_call(
         kernel,

@@ -56,7 +56,7 @@ def _mlp_tau(ff, nf, w1, b1, w2, b2, w3, b3, omean, ostd, col_dry):
 
 
 def _sw_mega_kernel(nlay, ngpt, nband, nf, n_cld, lut, tile_c, k_min, eps,
-                    unroll,
+                    unroll, sweep_stored,
                     ff_ref, mu0_ref, incdir_ref, incdif_ref,
                     albdir_ref, albdif_ref, oh_ref,
                     cliq_hi, cliq_mid, cliq_lo, cice_hi, cice_mid, cice_lo,
@@ -190,17 +190,39 @@ def _sw_mega_kernel(nlay, ngpt, nband, nf, n_cld, lut, tile_c, k_min, eps,
     # matches the staged exp(-cumsum) path to f32 summation order.
     inc_dir = incdir_ref[:, :]
 
-    def down_dir(l, path):
-        dinc = inc_dir * jnp.exp(-path)
-        dir_acc[pl.ds(l, 1), :] = jnp.sum(dinc, axis=1)[None, :]
-        s_a[l] = s_a[l] * dinc          # src_up
-        s_b[l] = s_b[l] * dinc          # src_dn
-        return path + s_c[l]
+    if sweep_stored:
+        # stored-sweep: the only sequential dependence in the direct beam
+        # is the cumulative path -- the loop body shrinks to one add per
+        # layer (s_c[l] overwritten in place with the PRE-update path), and
+        # the exp, the source scaling, and the broadband reduction all run
+        # once over the full (nlay, tile, ngpt) block. Identical floats in
+        # identical order per element -> bit-exact vs the fused loop.
+        def down_path(l, path):
+            tau_l = s_c[l]
+            s_c[l] = path
+            return path + tau_l
 
-    path = jax.lax.fori_loop(
-        0, nlay, down_dir, jnp.zeros((tile_c, ngpt), f32), unroll=unroll)
-    dinc = inc_dir * jnp.exp(-path)
-    dir_acc[pl.ds(nlay, 1), :] = jnp.sum(dinc, axis=1)[None, :]
+        path = jax.lax.fori_loop(
+            0, nlay, down_path, jnp.zeros((tile_c, ngpt), f32),
+            unroll=unroll)
+        dinc3 = inc_dir[None, :, :] * jnp.exp(-s_c[:, :, :])
+        dir_acc[pl.ds(0, nlay), :] = jnp.sum(dinc3, axis=2)
+        s_a[:, :, :] = s_a[:, :, :] * dinc3   # src_up
+        s_b[:, :, :] = s_b[:, :, :] * dinc3   # src_dn
+        dinc = inc_dir * jnp.exp(-path)
+        dir_acc[pl.ds(nlay, 1), :] = jnp.sum(dinc, axis=1)[None, :]
+    else:
+        def down_dir(l, path):
+            dinc_l = inc_dir * jnp.exp(-path)
+            dir_acc[pl.ds(l, 1), :] = jnp.sum(dinc_l, axis=1)[None, :]
+            s_a[l] = s_a[l] * dinc_l        # src_up
+            s_b[l] = s_b[l] * dinc_l        # src_dn
+            return path + s_c[l]
+
+        path = jax.lax.fori_loop(
+            0, nlay, down_dir, jnp.zeros((tile_c, ngpt), f32), unroll=unroll)
+        dinc = inc_dir * jnp.exp(-path)
+        dir_acc[pl.ds(nlay, 1), :] = jnp.sum(dinc, axis=1)[None, :]
 
     # ---- phase C: surface-to-top cumulative albedo/source ---------------
     # emits the PRE-update carry: s_c[l] = alb_below, s_a[l] = src_below
@@ -227,15 +249,31 @@ def _sw_mega_kernel(nlay, ngpt, nband, nf, n_cld, lut, tile_c, k_min, eps,
         inc_dif * alb_top + src_top, axis=1)[None, :]
 
     # ---- phase D: top-down diffuse flux sweep + broadband reduction ------
-    def down_flux(l, fdn):
-        d = 1.0 / (1.0 - s_rdif[l] * s_c[l])
-        fdn_next = (s_tdif[l] * fdn + s_rdif[l] * s_a[l] + s_b[l]) * d
-        fup = fdn_next * s_c[l] + s_a[l]
-        dn_acc[pl.ds(l + 1, 1), :] = jnp.sum(fdn_next, axis=1)[None, :]
-        up_acc[pl.ds(l + 1, 1), :] = jnp.sum(fup, axis=1)[None, :]
-        return fdn_next
+    if sweep_stored:
+        # the upward flux and both reductions are pure functions of the
+        # stored downward flux -- hoist them out of the recurrence (s_b[l]
+        # is dead after its read in iteration l, so it stores fdn_next)
+        def down_flux_s(l, fdn):
+            d = 1.0 / (1.0 - s_rdif[l] * s_c[l])
+            fdn_next = (s_tdif[l] * fdn + s_rdif[l] * s_a[l] + s_b[l]) * d
+            s_b[l] = fdn_next
+            return fdn_next
 
-    jax.lax.fori_loop(0, nlay, down_flux, inc_dif, unroll=unroll)
+        jax.lax.fori_loop(0, nlay, down_flux_s, inc_dif, unroll=unroll)
+        fdn_all = s_b[:, :, :]
+        fup_all = fdn_all * s_c[:, :, :] + s_a[:, :, :]
+        dn_acc[pl.ds(1, nlay), :] = jnp.sum(fdn_all, axis=2)
+        up_acc[pl.ds(1, nlay), :] = jnp.sum(fup_all, axis=2)
+    else:
+        def down_flux(l, fdn):
+            d = 1.0 / (1.0 - s_rdif[l] * s_c[l])
+            fdn_next = (s_tdif[l] * fdn + s_rdif[l] * s_a[l] + s_b[l]) * d
+            fup = fdn_next * s_c[l] + s_a[l]
+            dn_acc[pl.ds(l + 1, 1), :] = jnp.sum(fdn_next, axis=1)[None, :]
+            up_acc[pl.ds(l + 1, 1), :] = jnp.sum(fup, axis=1)[None, :]
+            return fdn_next
+
+        jax.lax.fori_loop(0, nlay, down_flux, inc_dif, unroll=unroll)
 
     dirs = dir_acc[:, :]
     up_ref[:, :] = jnp.transpose(up_acc[:, :], (1, 0))
@@ -262,6 +300,7 @@ def sw_clearsky_megakernel(
     cld_fields=None,  # (lwp, iwp, rel, rei) each (nlay, ncol): in-kernel
                       #   cloud-optics LUT path (needs cld_lut)
     cld_lut=None,     # lw_megakernel.cloud_lut_pack(co) result
+    sweep_stored: bool = False,  # hoist exp/reductions out of the sweeps
 ):
     """Fully fused SW pipeline: packed features in, broadband
     (ncol, nlay+1) (flux_up, flux_dn_total, flux_dn_dir) out, ONE Pallas
@@ -359,6 +398,7 @@ def sw_clearsky_megakernel(
     kernel = functools.partial(
         _sw_mega_kernel, nlay, ngpt, nband, nf, n_cld, lut_static, tile_c,
         float(config.k_min), float(np.finfo(np.float32).eps), unroll,
+        sweep_stored,
     )
     up, dn, dn_dir = pl.pallas_call(
         kernel,

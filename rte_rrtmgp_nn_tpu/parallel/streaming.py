@@ -74,8 +74,15 @@ def stream_reduce(
     """
     ncol = host_arrays[0].shape[0]
     outs = out_builder(ncol)
+    # Keep every block's results ON DEVICE until the sweep finishes: a d2h
+    # fetch in the loop forces the next h2d put to re-pay a ~2 s transfer
+    # warm-up on the tunnel-attached TPU (measured: interleaved fetch+put
+    # runs at ~45 MB/s; deferred fetch sustains ~1.2 GB/s h2d). Results are
+    # small (per-column diagnostics), so parking them in HBM is free.
+    pending = []
     for start, size, res in stream_blocks(fn, host_arrays, block_size, sharding):
-        res_list = res if isinstance(res, (tuple, list)) else [res]
+        pending.append((start, size, res if isinstance(res, (tuple, list)) else [res]))
+    for start, size, res_list in pending:
         for o, r in zip(outs, res_list):
             o[start : start + size] = np.asarray(r)[:size]
     return outs

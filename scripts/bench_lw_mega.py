@@ -117,7 +117,25 @@ def main() -> None:
 
     from rte_rrtmgp_nn_tpu.drivers.rfmip import _lw_core_mega5
 
+    from rte_rrtmgp_nn_tpu.drivers.rfmip import (
+        _lw_core_mega4_canon,
+        canonicalize_rfmip_inputs,
+    )
+
+    def _mega4_stored(models, table, spec, play, plev, tlay, tlev, tsfc,
+                      emis, concs, top_at_1, tile_c):
+        # canon front + stored-sweep kernel (host canonicalization happens
+        # in-jit here; fine for an A/B of the kernel itself)
+        canon = (lambda a: a.T) if top_at_1 else (lambda a: a[:, ::-1].T)
+        concs_t = {g: canon(v) if getattr(v, "ndim", 0) == 2 else v
+                   for g, v in concs.items()}
+        return _lw_core_mega4_canon(
+            models, table, spec, canon(play), canon(plev), canon(tlay),
+            canon(tlev), tsfc, emis, concs_t,
+            top_at_1=top_at_1, tile_c=tile_c, sweep_stored=True)
+
     cores = {"prep": _lw_core_prep, "mega4": _lw_core_mega4,
+             "mega4s": _mega4_stored,
              "mega5": _lw_core_mega5,
              "mega6": functools.partial(_lw_core_mega5, mxu_first=True)}
     for name in variants:

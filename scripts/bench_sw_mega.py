@@ -99,20 +99,23 @@ def main() -> None:
           f"mean_up={float(np.mean(np.asarray(ref.flux_up))):.4f}", flush=True)
 
     for tc in tiles:
-        fn = jax.jit(functools.partial(
-            _sw_core_mega, models, spec, solar, top_at_1=data.top_at_1,
-            tile_c=tc))
-        try:
-            t_v, out = timed(fn)
-            err_up = float(np.max(np.abs(
-                np.asarray(out.flux_up) - np.asarray(ref.flux_up))))
-            err_dn = float(np.max(np.abs(
-                np.asarray(out.flux_dn) - np.asarray(ref.flux_dn))))
-            print(f"mega tile_c={tc:4d}: {t_v*1e3:8.3f} ms  "
-                  f"max|d_up|={err_up:.2e} max|d_dn|={err_dn:.2e}", flush=True)
-        except Exception as e:  # noqa: BLE001
-            print(f"mega tile_c={tc:4d}: FAILED {type(e).__name__}: "
-                  f"{str(e)[:300]}", flush=True)
+        for stored in (False, True):
+            fn = jax.jit(functools.partial(
+                _sw_core_mega, models, spec, solar, top_at_1=data.top_at_1,
+                tile_c=tc, sweep_stored=stored))
+            name = "megas" if stored else "mega"
+            try:
+                t_v, out = timed(fn)
+                err_up = float(np.max(np.abs(
+                    np.asarray(out.flux_up) - np.asarray(ref.flux_up))))
+                err_dn = float(np.max(np.abs(
+                    np.asarray(out.flux_dn) - np.asarray(ref.flux_dn))))
+                print(f"{name} tile_c={tc:4d}: {t_v*1e3:8.3f} ms  "
+                      f"max|d_up|={err_up:.2e} max|d_dn|={err_dn:.2e}",
+                      flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"{name} tile_c={tc:4d}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:300]}", flush=True)
 
 
 if __name__ == "__main__":

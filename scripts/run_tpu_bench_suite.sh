@@ -22,4 +22,6 @@ run clearsky_1800      python bench.py
 run allsky_1800        python scripts/bench_allsky.py
 run allsky_28800       python scripts/bench_allsky.py --ncol 28800
 run allsky_1800_staged python scripts/bench_allsky.py --core staged
+run gcm_1m_resident    python scripts/bench_gcm.py --resident --lw-only
+run gcm_1m_streamed    python scripts/bench_gcm.py --lw-only
 echo "done -> $OUT" >&2

@@ -240,3 +240,39 @@ def test_mega5_column_major_front(rfmip_file):
         np.asarray(out.flux_dn), np.asarray(ref.flux_dn))
     np.testing.assert_array_equal(
         np.asarray(out.flux_up), np.asarray(ref.flux_up))
+
+
+def test_mega4_sweep_stored_bit_exact(rfmip_file):
+    """The stored-sweep mega4 variant (broadband reduction hoisted out of
+    the transport loops, source scratches reused as radiance stores) is
+    BIT-exact vs the fused-sweep default: identical floats summed over the
+    same lane axis, only the loop structure changes."""
+    import os
+
+    if not os.path.exists(MODEL):
+        pytest.skip("model not available")
+    from rte_rrtmgp_nn_tpu.drivers.rfmip import (
+        _lw_core_mega4_canon,
+        canonicalize_rfmip_inputs,
+    )
+
+    data = read_rfmip(rfmip_file).block(0, 24)
+    m = [load_model_netcdf(MODEL)]
+    spec = lw_spectral_g128()
+    table = PlanckTable.compute(spec.band_lims_wvn_array)
+    play_t, plev_t, tlay_t, tlev_t, concs_t = canonicalize_rfmip_inputs(data)
+    emis = jnp.broadcast_to(
+        jnp.asarray(data.sfc_emis, jnp.float32)[:, None],
+        (data.ncol, spec.nband))
+    args = (jnp.asarray(play_t), jnp.asarray(plev_t), jnp.asarray(tlay_t),
+            jnp.asarray(tlev_t), jnp.asarray(data.tsfc, jnp.float32),
+            emis, {k: jnp.asarray(v, jnp.float32) for k, v in concs_t.items()})
+    ref = _lw_core_mega4_canon(m, table, spec, *args,
+                               top_at_1=data.top_at_1, tile_c=8)
+    got = _lw_core_mega4_canon(m, table, spec, *args,
+                               top_at_1=data.top_at_1, tile_c=8,
+                               sweep_stored=True)
+    np.testing.assert_array_equal(
+        np.asarray(got.flux_dn), np.asarray(ref.flux_dn))
+    np.testing.assert_array_equal(
+        np.asarray(got.flux_up), np.asarray(ref.flux_up))

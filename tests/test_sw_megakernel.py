@@ -75,3 +75,38 @@ def test_driver_megakernel_dispatch(rfmip_file):
         np.asarray(out.flux_dn), np.asarray(ref.flux_dn), atol=2e-2)
     np.testing.assert_allclose(
         np.asarray(out.flux_up), np.asarray(ref.flux_up), atol=2e-2)
+
+
+def test_sw_sweep_stored_bit_exact(rfmip_file):
+    """The stored-sweep SW variant (direct-beam exp, source scaling, fup,
+    and all broadband reductions hoisted out of the sequential loops) is
+    BIT-exact vs the fused-sweep default: per element the same ops run in
+    the same order, only the loop structure changes."""
+    if not (os.path.exists(ABS) and os.path.exists(RAY)):
+        pytest.skip("SW models not available")
+    dt = jnp.float32
+    data = read_rfmip(rfmip_file)
+    models = [load_model_netcdf(ABS), load_model_netcdf(RAY)]
+    spec = sw_spectral_g112()
+    from rte_rrtmgp_nn_tpu.drivers.rfmip import resolve_solar_source
+
+    solar = jnp.asarray(resolve_solar_source(spec), dt)
+    n = 24
+    mu0 = np.cos(np.deg2rad(data.sza[:n]))
+    usecol = data.sza[:n] < 90.0 - 0.5 * np.finfo(np.float32).eps
+    args = (
+        jnp.asarray(data.play[:n], dt), jnp.asarray(data.plev[:n], dt),
+        jnp.asarray(data.tlay[:n], dt), jnp.asarray(data.sfc_alb[:n], dt),
+        jnp.asarray(mu0, dt), jnp.asarray(usecol),
+        jnp.asarray(data.tsi[:n], dt),
+        {k: jnp.asarray(v[:n] if np.ndim(v) == 2 else v, dt)
+         for k, v in data.gas_concs.concs.items()},
+    )
+    ref = _sw_core_mega(models, spec, solar, *args,
+                        top_at_1=data.top_at_1, tile_c=8)
+    got = _sw_core_mega(models, spec, solar, *args,
+                        top_at_1=data.top_at_1, tile_c=8, sweep_stored=True)
+    for name in ("flux_up", "flux_dn", "flux_dn_dir"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, name)), np.asarray(getattr(ref, name)),
+            err_msg=name)
