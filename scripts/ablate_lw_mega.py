@@ -1,0 +1,129 @@
+"""Ablation decomposition of the mega4 LW kernel's device time.
+
+Monkeypatches pieces of ops/pallas/lw_megakernel OUT of the kernel (Planck
+interpolation -> constant; sweep fori_loops -> skipped) and times each
+variant on the chip. The deltas attribute the kernel's time to its phases
+-- numerically WRONG outputs by construction, timing only.
+
+Usage: python scripts/ablate_lw_mega.py [--mult N] [--tile T]
+"""
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    import rte_rrtmgp_nn_tpu.ops.pallas.lw_megakernel as LWM
+    from rte_rrtmgp_nn_tpu.drivers.rfmip import _lw_core_mega4
+    from rte_rrtmgp_nn_tpu.drivers.rfmip_io import read_rfmip
+    from rte_rrtmgp_nn_tpu.gasoptics.planck import PlanckTable, lw_spectral_g128
+    from rte_rrtmgp_nn_tpu.models.network import load_model_netcdf
+
+    argv = sys.argv[1:]
+    mult = 32
+    if "--mult" in argv:
+        i = argv.index("--mult")
+        mult = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    tile = 32
+    if "--tile" in argv:
+        i = argv.index("--tile")
+        tile = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+
+    data = read_rfmip(
+        "/root/reference/examples/rfmip-clear-sky/"
+        "multiple_input4MIPs_radiation_RFMIP_UColorado-RFMIP-1-2_none.nc")
+    if mult > 1:
+        import dataclasses
+        rep = lambda a: np.concatenate([a] * mult, axis=0)
+        data = dataclasses.replace(
+            data, play=rep(data.play), plev=rep(data.plev),
+            tlay=rep(data.tlay), tlev=rep(data.tlev), tsfc=rep(data.tsfc),
+            sfc_emis=rep(data.sfc_emis), sfc_alb=rep(data.sfc_alb),
+            sza=rep(data.sza), tsi=rep(data.tsi),
+            gas_concs=type(data.gas_concs)({
+                k: (rep(v) if getattr(v, "ndim", 0) == 2 else v)
+                for k, v in data.gas_concs.concs.items()}),
+            nexp=data.nexp * mult)
+    ncol = data.ncol
+    print(f"ncol = {ncol}  tile = {tile}", flush=True)
+    models = [load_model_netcdf(
+        "/root/reference/neural/data/lw-g128-210809_both_BEST.nc")]
+    spec = lw_spectral_g128()
+    table = PlanckTable.compute(spec.band_lims_wvn_array, dtype=jnp.float32)
+
+    concs = {k: jnp.asarray(v, jnp.float32)
+             for k, v in data.gas_concs.concs.items()}
+    args = jax.device_put((
+        jnp.asarray(data.play, jnp.float32),
+        jnp.asarray(data.plev, jnp.float32),
+        jnp.asarray(data.tlay, jnp.float32),
+        jnp.asarray(data.tlev, jnp.float32),
+        jnp.asarray(data.tsfc, jnp.float32),
+        jnp.broadcast_to(
+            jnp.asarray(data.sfc_emis, jnp.float32)[:, None],
+            (ncol, spec.nband)),
+        concs,
+    ))
+
+    real_interp = LWM._planck_interp3
+    real_fori = jax.lax.fori_loop
+
+    def fake_interp(t_col, tp_hi, tp_mid, tp_lo, ntab, nband, t_min, t_delta):
+        # constant Planck value: kills the one-hot builds + 3-term matmuls
+        return jnp.broadcast_to(
+            jnp.float32(1.0), (t_col.shape[0], nband)) * t_col
+
+    def fake_fori(lo, hi, body, init, unroll=None):
+        return init  # skip the sweep loops entirely
+
+    def timed():
+        fn = jax.jit(functools.partial(
+            _lw_core_mega4, models, table, spec, top_at_1=data.top_at_1,
+            tile_c=tile))
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(20):
+                out = fn(*args)
+            jax.block_until_ready(out)
+            best = min(best, (time.perf_counter() - t0) / 20)
+        return best * 1e3
+
+    variants = []
+    for name, interp, fori in [
+        ("full", real_interp, real_fori),
+        ("no-interp", fake_interp, real_fori),
+        ("no-sweeps", real_interp, fake_fori),
+        ("no-interp-no-sweeps", fake_interp, fake_fori),
+    ]:
+        LWM._planck_interp3 = interp
+        jax.lax.fori_loop = fori
+        try:
+            ms = timed()
+        finally:
+            LWM._planck_interp3 = real_interp
+            jax.lax.fori_loop = real_fori
+        variants.append((name, ms))
+        print(f"{name:24s}: {ms:8.3f} ms", flush=True)
+    base = dict(variants)["full"]
+    for name, ms in variants[1:]:
+        print(f"  {name} delta: {base - ms:+.3f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

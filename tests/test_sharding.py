@@ -149,6 +149,13 @@ class TestGCMSweep:
         assert 120 < stats["mean_olr"] < 320  # cloudy-sky OLR
         assert 200 < stats["mean_lw_sfc_dn"] < 450
         assert stats["columns_per_s"] > 0
+        # device-resident mode runs the SAME jitted step over pre-staged
+        # blocks -- identical fluxes to the streamed path
+        res = gcm_sweep_allsky(host, lw, sw, clw, csw, block_size=256,
+                               top_at_1=base.top_at_1, resident=True)
+        assert res["mean_olr"] == stats["mean_olr"]
+        assert res["mean_lw_sfc_dn"] == stats["mean_lw_sfc_dn"]
+        assert res["mean_sw_sfc_dn"] == stats["mean_sw_sfc_dn"]
 
 
 class TestMegaSharding:
