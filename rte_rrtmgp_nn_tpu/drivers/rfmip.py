@@ -135,7 +135,7 @@ def _lw_core_mega4_canon(
     spectral: SpectralMapping,
     play_t, plev_t, tlay_t, tlev_t, tsfc, sfc_emis_band, concs_t,
     top_at_1: bool,
-    tile_c: int = 32,
+    tile_c: int | None = None,  # None: 32 small batches, 64 large (measured)
     sweep_stored: bool = False,
 ):
     """_lw_core_mega4 on CANONICAL lay-major top-at-0 inputs
@@ -150,6 +150,10 @@ def _lw_core_mega4_canon(
 
     gas_desc = GasConcs(concs_t)
     nlay, ncol = play_t.shape
+    if tile_c is None:
+        # measured crossover (interp-cat kernel): 1800 cols 1.79 ms @32 vs
+        # 1.82 @64; 57.6k 20.56 @32 vs 20.04 @64
+        tile_c = 32 if ncol < 16384 else 64
     col_dry = get_col_dry_lay_major(
         gas_desc.get_vmr("h2o", nlay, ncol), plev_t)
     x2d, const_feats, perm = compute_nn_inputs_split(
@@ -441,7 +445,7 @@ def _lw_core_mega4(
     spectral: SpectralMapping,
     play, plev, tlay, tlev, tsfc, sfc_emis_band, concs_dict,
     top_at_1: bool,
-    tile_c: int = 32,
+    tile_c: int | None = None,  # None: 32 small batches, 64 large (measured)
     const_gas_names: tuple = (),
 ):
     """Thin-lane fully-fused LW core (ops/pallas/lw_megakernel.
@@ -458,6 +462,8 @@ def _lw_core_mega4(
 
     gas_desc = GasConcs(concs_dict)
     ncol, nlay = play.shape
+    if tile_c is None:
+        tile_c = 32 if ncol < 16384 else 64  # see _lw_core_mega4_canon
 
     if not top_at_1:
         play, tlay = play[:, ::-1], tlay[:, ::-1]

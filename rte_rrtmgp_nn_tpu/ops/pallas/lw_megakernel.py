@@ -320,12 +320,35 @@ def _planck_interp3(t_col, tp_hi, tp_mid, tp_lo, ntab, nband, t_min, t_delta):
     return g[:, :nband] + frac * g[:, nband:]
 
 
+def _planck_interp_cat(t_col, tp_cat, ntab, nband, t_min, t_delta):
+    """_planck_interp3 with the three bf16 split terms CONCATENATED along
+    the table's output dim (tp_cat = [hi | mid | lo], (ntab, 3*2*nband)):
+    one one-hot matmul instead of three. Each 2*nband=32-wide term padded
+    its MXU N dim to 128 lanes (4x wasted work, x3 dots -- the kernel
+    ablation attributed 10.6 of 24.3 ms at 57.6k cols to this interp);
+    fused, one N=96 dot does all three terms. The per-term lane slices are
+    added in the SAME ((hi + mid) + lo) order, so results are bit-identical
+    to the 3-dot form."""
+    f32 = jnp.float32
+    w = 2 * nband
+    val0 = (t_col - t_min) / t_delta            # (rows', 1)
+    tr = jnp.trunc(val0)
+    i0 = jnp.clip(tr, 0.0, float(ntab - 2))
+    frac = val0 - tr
+    k = jax.lax.broadcasted_iota(
+        jnp.int32, (t_col.shape[0], ntab), 1).astype(f32)
+    oh0 = (k == i0).astype(f32)                 # exact 0/1 row pick
+    g3 = jnp.dot(oh0, tp_cat, preferred_element_type=f32)
+    g = (g3[:, :w] + g3[:, w:2 * w]) + g3[:, 2 * w:]
+    return g[:, :nband] + frac * g[:, nband:]
+
+
 def _mega4_kernel(nlay, ngpt, nband, n2d, nc, ntab, n_cld, lut, tile_c,
                   d_secant, two_pi_w, tau_thresh, t_min, t_delta, unroll,
                   sweep_stored,
                   fused_ref, const_ref, tsfc_ref, tlevb_ref, emis_ref,
                   w1a_ref, w1c_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-                  omean_ref, ostd_ref, oh_ref, tphi_ref, tpmid_ref, tplo_ref,
+                  omean_ref, ostd_ref, oh_ref, tpcat_ref,
                   cliq_hi, cliq_mid, cliq_lo, cice_hi, cice_mid, cice_lo,
                   up_ref, dn_ref,
                   trans_scr, sdn_scr, sup_scr, dn_acc, up_acc):
@@ -335,12 +358,10 @@ def _mega4_kernel(nlay, ngpt, nband, n2d, nc, ntab, n_cld, lut, tile_c,
     o_tlay = n2d + 1
     o_top = n2d + 2
 
-    tphi = tphi_ref[:, :]
-    tpmid = tpmid_ref[:, :]
-    tplo = tplo_ref[:, :]
+    tpcat = tpcat_ref[:, :]
     oh = oh_ref[:, :]
     interp = functools.partial(
-        _planck_interp3, tp_hi=tphi, tp_mid=tpmid, tp_lo=tplo,
+        _planck_interp_cat, tp_cat=tpcat,
         ntab=ntab, nband=nband, t_min=t_min, t_delta=t_delta)
 
     # ---- phase A: feature assembly + MLP + sources -> scratch ------------
@@ -398,6 +419,12 @@ def _mega4_kernel(nlay, ngpt, nband, n2d, nc, ntab, n_cld, lut, tile_c,
         (1.0 - trans) / tl_safe - trans,
         tl * (0.5 - (1.0 / 3.0) * tl),
     )
+    # NOTE (measured dead end): stacking the interp sites along rows
+    # (concat lay+lev temps -> one one-hot build + one matmul) CRASHES the
+    # Mosaic compiler (remote tpu_compile_helper exit 1 after a minutes-
+    # long attempt, both ragged 2*rows+2*tile and uniform 2*rows forms).
+    # The interp sites stay separate; the 3-term fusion lives in the N dim
+    # instead (_planck_interp_cat).
     lay = pf * jnp.dot(interp(ff[:, o_tlay:o_tlay + 1]), oh,
                        preferred_element_type=f32)
     lev_t = pf * jnp.dot(interp(ff[:, o_top:o_top + 1]), oh,
@@ -557,8 +584,11 @@ def lw_clearsky_mega4(
     nc = const_feats.shape[-1]
     nband, ngpt = one_hot.shape
     f32 = jnp.float32
-    tp_hi, tp_mid, tp_lo = planck_interp_table(planck_table.totplnk)
-    ntab = tp_hi.shape[0]
+    # the three split terms concatenated along N: ONE one-hot matmul per
+    # interp instead of three (see _planck_interp_cat)
+    tp_cat = jnp.concatenate(planck_interp_table(planck_table.totplnk),
+                             axis=1)
+    ntab = tp_cat.shape[0]
 
     if isinstance(x2d, (list, tuple)):
         n2d = len(x2d)
@@ -641,8 +671,7 @@ def lw_clearsky_mega4(
             rep((1, model.output_mean.shape[0])),
             rep((1, model.output_std.shape[0])),
             rep(one_hot.shape),
-            rep((ntab, 2 * nband)), rep((ntab, 2 * nband)),
-            rep((ntab, 2 * nband)),
+            rep((ntab, 6 * nband)),
             *(rep(t.shape) for t in (*liq3, *ice3)),
         ],
         out_specs=(out_bs, out_bs),
@@ -668,7 +697,7 @@ def lw_clearsky_mega4(
         w1a.astype(f32), w1c.astype(f32), row2(b1), w2.astype(f32), row2(b2),
         w3.astype(f32), row2(b3),
         row2(model.output_mean), row2(model.output_std),
-        one_hot.astype(f32), tp_hi, tp_mid, tp_lo,
+        one_hot.astype(f32), tp_cat,
         *liq3, *ice3,
     )
     return up[:ncol], dn[:ncol]
