@@ -91,17 +91,22 @@ def megakernel_model_ok(models) -> bool:
 def resolve_use_megakernel(lw: bool = False, models=None) -> bool:
     """Single source of truth for the fused-megakernel dispatch used by
     every driver: config.use_megakernel (None = auto: TPU backend only),
-    forced OFF for LW paths when a numerics flag the kernels hardcode is
-    set (fast_exponential / use_pade_source -- the staged cores honor
-    them; the megakernels bake the exact exp + linear-in-tau source), and
+    forced OFF when a numerics flag the kernels hardcode is set --
+    ``fast_exponential`` affects every solver exponential (LW trans, SW
+    direct beam, SW two-stream; reference exp_fast scope,
+    mo_rte_solver_kernels.F90:237,520-526,1293,1311) so it forbids BOTH
+    megakernels; ``use_pade_source`` is an LW source form only -- and
     forced OFF for any NN architecture the kernels don't hardcode
-    (``megakernel_model_ok``)."""
+    (``megakernel_model_ok``). The staged cores honor the flags; the
+    megakernels bake the exact exp + linear-in-tau source."""
     import jax
 
     use = config.use_megakernel
     if use is None:
         use = jax.default_backend() == "tpu"
-    if lw and (config.fast_exponential or config.use_pade_source):
+    if config.fast_exponential:
+        return False
+    if lw and config.use_pade_source:
         return False
     if models is not None and not megakernel_model_ok(models):
         return False

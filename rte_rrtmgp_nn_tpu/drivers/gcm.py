@@ -304,6 +304,13 @@ def gcm_sweep_lw(
 
     builder = lambda n: [np.zeros((n, 2), np.float32)]
     if resident:
+        if mesh is not None:
+            # _resident_reduce device_puts every block to the default
+            # device; silently measuring a single chip under a mesh would
+            # misreport multi-chip throughput.
+            raise ValueError(
+                "resident=True ignores `mesh` (blocks are staged on the "
+                "default device); use the streamed path for mesh sweeps")
         outs, elapsed = _resident_reduce(step_fn, packed, block_size, builder)
     else:
         if warmup:

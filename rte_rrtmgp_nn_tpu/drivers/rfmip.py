@@ -256,6 +256,7 @@ def _sw_core_mega_canon(
     up, dn, dn_dir = sw_clearsky_megakernel(
         models[0], models[1], x, col_dry_t, mu0_safe,
         toa_src * mu0_safe[:, None], alb_gpt, alb_gpt, tile_c=tile_c,
+        sweep_stored=sweep_stored,
     )
     if not top_at_1:
         up, dn, dn_dir = up[:, ::-1], dn[:, ::-1], dn_dir[:, ::-1]

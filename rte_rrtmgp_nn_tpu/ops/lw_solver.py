@@ -53,15 +53,10 @@ GAUSS_WTS = np.array(
 )
 
 
-def _exp(x):
-    if config.fast_exponential:
-        # Pade approximant applied to x/8, squared three times
-        # (reference exp_fast, mo_rte_solver_kernels.F90:90-106).
-        ex = 1.0 / (1.0 + x * (-0.125 + x * (0.0078125 - 0.000325520833333333 * x)))
-        ex = ex * ex
-        ex = ex * ex
-        return ex * ex
-    return jnp.exp(x)
+# Pade approximant applied to x/8, squared three times, when
+# config.fast_exponential (reference exp_fast,
+# mo_rte_solver_kernels.F90:90-106); shared with the SW solvers.
+from .expfast import exp_maybe_fast as _exp
 
 
 def _flip_lay(x):

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from ..config import config
 from .adding import adding
+from .expfast import exp_fast, exp_maybe_fast as _exp
 
 
 class SWSolution(NamedTuple):
@@ -44,8 +45,15 @@ def direct_beam(tau, mu0, inc_flux_dir):
     Returns (ncol, nlay+1, ngpt).
     """
     mu0_inv = (1.0 / mu0)[:, None, None]
-    cum = jnp.cumsum(tau * mu0_inv, axis=1)
-    atten = jnp.exp(-cum)
+    if config.fast_exponential:
+        # The reference applies exp_fast PER LAYER in the downward
+        # recurrence (mo_rte_solver_kernels.F90:520-526); cumprod of the
+        # per-layer Pade transmittances reproduces those numerics exactly
+        # (exp_fast(a)*exp_fast(b) != exp_fast(a+b), so the closed form
+        # below would not).
+        atten = jnp.cumprod(exp_fast(-tau * mu0_inv), axis=1)
+    else:
+        atten = jnp.exp(-jnp.cumsum(tau * mu0_inv, axis=1))
     top = inc_flux_dir[:, None, :]
     return jnp.concatenate([top, top * atten], axis=1)
 
@@ -53,7 +61,10 @@ def direct_beam(tau, mu0, inc_flux_dir):
 def direct_beam_lay_major(tau, mu0, inc_flux_dir):
     """direct_beam for (nlay, ncol, ngpt) tau: returns (nlay+1, ncol, ngpt)."""
     mu0_inv = (1.0 / mu0)[None, :, None]
-    atten = jnp.exp(-jnp.cumsum(tau * mu0_inv, axis=0))
+    if config.fast_exponential:
+        atten = jnp.cumprod(exp_fast(-tau * mu0_inv), axis=0)  # see direct_beam
+    else:
+        atten = jnp.exp(-jnp.cumsum(tau * mu0_inv, axis=0))
     top = inc_flux_dir[None, :, :]
     return jnp.concatenate([top, top * atten], axis=0)
 
@@ -91,8 +102,10 @@ def sw_two_stream_source(tau, ssa, g, mu0, sfc_alb_dir, flux_dn_dir):
     alpha2 = gamma1 * gamma3 + gamma2 * gamma4  # MW Eq 17
 
     k = jnp.sqrt(jnp.maximum((gamma1 - gamma2) * (gamma1 + gamma2), config.k_min))
-    tnoscat = jnp.exp(-tau * mu0_inv)
-    e1 = jnp.exp(-tau * k)
+    # _exp honors config.fast_exponential (reference Tnoscat :1293,
+    # exp_minusktau :1311 under -DFAST_EXPONENTIAL).
+    tnoscat = _exp(-tau * mu0_inv)
+    e1 = _exp(-tau * k)
     e2 = e1 * e1
     k2e = 2.0 * k * e1
 
@@ -144,8 +157,8 @@ def _sw_two_stream_coeffs(tau_l, ssa_l, g_l, mu0b):
     alpha1 = gamma1 * gamma4 + gamma2 * gamma3
     alpha2 = gamma1 * gamma3 + gamma2 * gamma4
     k = jnp.sqrt(jnp.maximum((gamma1 - gamma2) * (gamma1 + gamma2), config.k_min))
-    tnoscat = jnp.exp(-tau_l * mu0_inv)
-    e1 = jnp.exp(-tau_l * k)
+    tnoscat = _exp(-tau_l * mu0_inv)  # fast_exponential-aware, see above
+    e1 = _exp(-tau_l * k)
     e2 = e1 * e1
     k2e = 2.0 * k * e1
     rt_term = 1.0 / (k * (1.0 + e2) + gamma1 * (1.0 - e2))

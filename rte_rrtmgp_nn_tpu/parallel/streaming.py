@@ -71,6 +71,15 @@ def stream_reduce(
 
     out_builder(ncol) -> list of preallocated host outputs, one per output
     of fn (all column-leading).
+
+    Memory contract: EVERY block's device results stay resident in HBM
+    until the whole sweep finishes (see the deferred-fetch rationale
+    below). That is free for the per-column-diagnostic callers this serves
+    (a few floats per column), but a caller whose fn returns full
+    (block, nlev, ...) profiles at >=1M columns would accumulate
+    n_blocks * block-output bytes of HBM; such callers should fetch
+    per-block themselves (and eat the tunnel warm-up penalty) or reduce
+    on device first.
     """
     ncol = host_arrays[0].shape[0]
     outs = out_builder(ncol)

@@ -35,10 +35,17 @@ def main() -> None:
 
     argv = sys.argv[1:]
     ncol = 28800
+    tile_c = 32
     if "--ncol" in argv:
         i = argv.index("--ncol")
         ncol = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
+    if "--tile" in argv:
+        i = argv.index("--tile")
+        tile_c = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    if argv:
+        raise SystemExit(f"unrecognized arguments: {argv}")
 
     REF = "/root/reference"
     atm = read_garand(os.path.join(REF, "examples/all-sky/garand-atmos-1.nc"),
@@ -84,7 +91,7 @@ def main() -> None:
         play_t, plev_t, tlay_t, tlev_t, lwp_t, iwp_t, rel_t, rei_t, ts, em = args
         fn = jax.jit(functools.partial(
             _allsky_lw_core_mega, models, table, spec, co,
-            top_at_1=top_at_1))
+            top_at_1=top_at_1, tile_c=tile_c))
         fargs = (play_t, plev_t, tlay_t, tlev_t, ts, em,
                  lwp_t, iwp_t, rel_t, rei_t, concs_d)
         out = fn(*fargs)

@@ -90,6 +90,44 @@ class TestConfigVariants:
         np.testing.assert_allclose(approx, exact, atol=5e-4)
         assert np.all(approx >= 0.0)
 
+    def test_fast_exponential_sw_paths(self, rng):
+        """fast_exponential covers the SW solvers too (reference exp_fast
+        scope: direct beam :520-526, two-stream Tnoscat/exp(-k*tau)
+        :1293,1311): the flag must flip the SW numerics, stay close to
+        exact, and the direct beam must reproduce the reference's PER-LAYER
+        recurrence (product of per-layer Pade transmittances, not the Pade
+        form of the cumulative path)."""
+        from rte_rrtmgp_nn_tpu.ops.expfast import exp_fast
+        from rte_rrtmgp_nn_tpu.ops.sw_solver import (
+            direct_beam,
+            sw_solver_2stream,
+        )
+
+        ncol, nlay, ngpt = 4, 12, 8
+        tau = jnp.asarray(rng.uniform(0.02, 0.8, (ncol, nlay, ngpt)))
+        ssa = jnp.asarray(rng.uniform(0.2, 0.9, (ncol, nlay, ngpt)))
+        g = jnp.asarray(rng.uniform(0.0, 0.7, (ncol, nlay, ngpt)))
+        mu0 = jnp.asarray(rng.uniform(0.3, 1.0, (ncol,)))
+        inc = jnp.asarray(rng.uniform(0.5, 1.5, (ncol, ngpt)))
+        alb = jnp.full((ncol, ngpt), 0.2)
+
+        s0 = sw_solver_2stream(tau, ssa, g, mu0, inc, alb, alb)
+        with rt.config_override(fast_exponential=True):
+            s1 = sw_solver_2stream(tau, ssa, g, mu0, inc, alb, alb)
+            beam = np.asarray(direct_beam(tau, mu0, inc * mu0[:, None]))
+        # the flag changes SW numerics...
+        assert not np.array_equal(np.asarray(s0.flux_dn), np.asarray(s1.flux_dn))
+        # ...but only by the Pade approximation error
+        np.testing.assert_allclose(
+            np.asarray(s1.flux_dn), np.asarray(s0.flux_dn), rtol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(s1.flux_up), np.asarray(s0.flux_up), rtol=4e-3)
+        # per-layer recurrence semantics of the fast direct beam
+        lay_t = np.asarray(exp_fast(-tau / mu0[:, None, None]))
+        expect = np.asarray(inc * mu0[:, None])[:, None, :] * np.concatenate(
+            [np.ones((ncol, 1, ngpt)), np.cumprod(lay_t, axis=1)], axis=1)
+        np.testing.assert_allclose(beam, expect, rtol=1e-6)
+
     def test_pade_source_runs(self, rng):
         """use_Pade_source variant produces close fluxes (reference
         mo_rte_rrtmgp_config.F90:30 + the Pade branch of the source)."""

@@ -95,10 +95,14 @@ class TestModelGuard:
             assert not resolve_use_megakernel(models=[_extend_identity(m)])
             assert resolve_use_megakernel(lw=True, models=[m])
         with config_override(use_megakernel=True, fast_exponential=True):
+            # fast_exponential covers every solver exponential (LW trans,
+            # SW direct beam + two-stream), so it forbids BOTH megakernels.
             assert not resolve_use_megakernel(lw=True, models=[m])
-            assert resolve_use_megakernel(lw=False, models=[m])
+            assert not resolve_use_megakernel(lw=False, models=[m])
         with config_override(use_megakernel=True, use_pade_source=True):
             assert not resolve_use_megakernel(lw=True, models=[m])
+            # the Pade source is an LW-only form; SW mega stays eligible
+            assert resolve_use_megakernel(lw=False, models=[m])
 
 
 class TestLWGuards:
@@ -138,6 +142,25 @@ class TestLWGuards:
             ref = rfmip_clear_sky_lw(data, models)
         np.testing.assert_array_equal(np.asarray(out.flux_dn),
                                       np.asarray(ref.flux_dn))
+
+    def test_pade_source_falls_back(self, data, monkeypatch):
+        """Driver-level use_pade_source guard (VERDICT r3 item 7): the
+        staged core must run (mega4 bakes the linear-in-tau source) and
+        match the generic path under the same flag."""
+        _need(LW_BOTH)
+        mega = _spy(monkeypatch, "_lw_core_mega4_canon", forbid=True)
+        models = [load_model_netcdf(LW_BOTH)]
+        with config_override(use_megakernel=True, use_pade_source=True):
+            out = rfmip_clear_sky_lw(data, models)
+        assert not mega
+        with config_override(use_pade_source=True):
+            ref = rfmip_clear_sky_lw(data, models)
+        np.testing.assert_array_equal(np.asarray(out.flux_dn),
+                                      np.asarray(ref.flux_dn))
+        # and the flag actually changes the physics vs the default source
+        base = rfmip_clear_sky_lw(data, models)
+        assert not np.array_equal(np.asarray(out.flux_dn),
+                                  np.asarray(base.flux_dn))
 
     def test_two_model_pair_falls_back(self, data, monkeypatch):
         """The absorption + planck_frac two-model fork takes the generic
@@ -199,6 +222,24 @@ class TestSWGuards:
         ref = rfmip_clear_sky_sw(data, [ma, mr])
         np.testing.assert_allclose(np.asarray(out.flux_dn),
                                    np.asarray(ref.flux_dn), atol=1e-4)
+
+    def test_fast_exponential_falls_back(self, data, monkeypatch):
+        """fast_exponential now covers the SW direct beam and two-stream
+        (reference exp_fast :520-526,1293,1311), which the SW megakernel
+        bakes as exact exp -- it must never dispatch under the flag."""
+        mega = _spy(monkeypatch, "_sw_core_mega_canon", forbid=True)
+        models = self._models()
+        with config_override(use_megakernel=True, fast_exponential=True):
+            out = rfmip_clear_sky_sw(data, models)
+        assert not mega
+        with config_override(fast_exponential=True):
+            ref = rfmip_clear_sky_sw(data, models)
+        np.testing.assert_array_equal(np.asarray(out.flux_dn),
+                                      np.asarray(ref.flux_dn))
+        # the flag must actually flip the SW staged numerics
+        base = rfmip_clear_sky_sw(data, models)
+        assert not np.array_equal(np.asarray(out.flux_dn),
+                                  np.asarray(base.flux_dn))
 
     def test_compatible_config_dispatches_mega(self, data, monkeypatch):
         mega = _spy(monkeypatch, "_sw_core_mega_canon")
