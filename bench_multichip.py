@@ -64,6 +64,10 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--device-counts", type=str, default="",
                     help="comma list; default 1,2,4,...,N")
+    ap.add_argument("--core", choices=["staged", "mega"], default="staged",
+                    help="mega = the TPU-default fused megakernel cores "
+                    "under shard_map (interpret mode off-TPU; VERDICT r3 "
+                    "item 6)")
     args = ap.parse_args()
 
     import jax
@@ -73,7 +77,10 @@ def main() -> None:
     from rte_rrtmgp_nn_tpu.drivers.rfmip import (
         _lw_core_lay_major,
         _sw_core_lay_major,
+        canonicalize_rfmip_inputs,
         default_solar_source,
+        lw_mega_core_sharded,
+        sw_mega_core_sharded,
     )
     from rte_rrtmgp_nn_tpu.drivers.rfmip_io import read_rfmip
     from rte_rrtmgp_nn_tpu.gasoptics.planck import (
@@ -122,28 +129,56 @@ def main() -> None:
         data = _replicate_block(base, ncol)
 
         put = lambda a, sh=col: jax.device_put(jnp.asarray(a, dtype), sh)
-        emis = jnp.broadcast_to(
-            jnp.asarray(data.sfc_emis, dtype)[:, None], (ncol, lw_spec.nband))
-        concs = {
-            k: (put(v) if np.ndim(v) == 2 else jax.device_put(
-                jnp.asarray(v, dtype), repl))
-            for k, v in data.gas_concs.concs.items()
-        }
-        lw_args = (put(data.play), put(data.plev), put(data.tlay),
-                   put(data.tlev), put(data.tsfc), put(emis), concs)
         mu0 = np.cos(np.deg2rad(data.sza))
         usecol = data.sza < 90.0 - 0.5 * np.finfo(np.float32).eps
-        sw_args = (put(data.play), put(data.plev), put(data.tlay),
-                   put(data.sfc_alb), put(mu0),
-                   jax.device_put(jnp.asarray(usecol), col),
-                   put(data.tsi), concs)
 
-        lw = jax.jit(functools.partial(
-            _lw_core_lay_major, lw_models, table, lw_spec,
-            top_at_1=base.top_at_1))
-        sw = jax.jit(functools.partial(
-            _sw_core_lay_major, sw_models, sw_spec, solar,
-            top_at_1=base.top_at_1))
+        if args.core == "mega":
+            # The TPU-default fused megakernel cores under explicit
+            # shard_map (drivers.rfmip lw/sw_mega_core_sharded): canonical
+            # lay-major inputs, columns split over 'col' on axis 1.
+            lay = NamedSharding(mesh, P(None, "col"))
+            play_t, plev_t, tlay_t, tlev_t, concs_t = (
+                canonicalize_rfmip_inputs(data, np.float32))
+            putl = lambda a: jax.device_put(jnp.asarray(a, dtype), lay)
+            emis_b = jnp.broadcast_to(
+                jnp.asarray(data.sfc_emis, dtype)[:, None],
+                (ncol, lw_spec.nband))
+            concs = {
+                k: (putl(v) if np.ndim(v) == 2 else jax.device_put(
+                    jnp.asarray(v, dtype), repl))
+                for k, v in concs_t.items()
+            }
+            lw_args = (putl(play_t), putl(plev_t), putl(tlay_t),
+                       putl(tlev_t), put(data.tsfc), put(emis_b), concs)
+            sw_args = (putl(play_t), putl(plev_t), putl(tlay_t),
+                       put(data.sfc_alb), put(mu0),
+                       jax.device_put(jnp.asarray(usecol), col),
+                       put(data.tsi), concs)
+            lw = jax.jit(lw_mega_core_sharded(
+                mesh, lw_models, table, lw_spec, top_at_1=base.top_at_1))
+            sw = jax.jit(sw_mega_core_sharded(
+                mesh, sw_models, sw_spec, solar, top_at_1=base.top_at_1))
+        else:
+            emis = jnp.broadcast_to(
+                jnp.asarray(data.sfc_emis, dtype)[:, None],
+                (ncol, lw_spec.nband))
+            concs = {
+                k: (put(v) if np.ndim(v) == 2 else jax.device_put(
+                    jnp.asarray(v, dtype), repl))
+                for k, v in data.gas_concs.concs.items()
+            }
+            lw_args = (put(data.play), put(data.plev), put(data.tlay),
+                       put(data.tlev), put(data.tsfc), put(emis), concs)
+            sw_args = (put(data.play), put(data.plev), put(data.tlay),
+                       put(data.sfc_alb), put(mu0),
+                       jax.device_put(jnp.asarray(usecol), col),
+                       put(data.tsi), concs)
+            lw = jax.jit(functools.partial(
+                _lw_core_lay_major, lw_models, table, lw_spec,
+                top_at_1=base.top_at_1))
+            sw = jax.jit(functools.partial(
+                _sw_core_lay_major, sw_models, sw_spec, solar,
+                top_at_1=base.top_at_1))
 
         out = (lw(*lw_args), sw(*sw_args))
         jax.block_until_ready(out)  # compile
@@ -167,6 +202,7 @@ def main() -> None:
         "value": per_chip[counts[-1]],
         "unit": "cols/s/chip (LW+SW)",
         "n_devices": counts[-1],
+        "core": args.core,
         "weak_scaling_efficiency": eff,
         "backend": jax.default_backend(),
     }), flush=True)

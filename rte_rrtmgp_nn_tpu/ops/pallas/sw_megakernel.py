@@ -55,6 +55,150 @@ def _mlp_tau(ff, nf, w1, b1, w2, b2, w3, b3, omean, ostd, col_dry):
     return (y4 * y4) * col_dry
 
 
+def _pifm_coeffs(tau, ssa, g, mu0b, k_min, eps, general_g):
+    """PIFM two-stream coefficients (rdif, tdif, rdir, tdir) for one tile
+    batch; pure elementwise phase-A math, split out so the ablation can
+    patch it (scripts/ablate_sw_mega.py). ``general_g=False`` folds the
+    clear-sky g = 0 specialization as constants (f32 results identical to
+    the general form -- g enters only via zero products)."""
+    if general_g:
+        gamma1 = (8.0 - ssa * (5.0 + 3.0 * g)) * 0.25
+        gamma2 = 3.0 * (ssa * (1.0 - g)) * 0.25
+        gamma3 = (2.0 - 3.0 * mu0b * g) * 0.25
+        gamma4 = 1.0 - gamma3
+    else:
+        gamma1 = (8.0 - ssa * 5.0) * 0.25
+        gamma2 = (3.0 * ssa) * 0.25
+        gamma3 = 0.5
+        gamma4 = 0.5
+    alpha1 = gamma1 * gamma4 + gamma2 * gamma3
+    alpha2 = gamma1 * gamma3 + gamma2 * gamma4
+    k = jnp.sqrt(jnp.maximum((gamma1 - gamma2) * (gamma1 + gamma2), k_min))
+    mu0_inv = 1.0 / mu0b
+    tnoscat = jnp.exp(-tau * mu0_inv)
+    e1 = jnp.exp(-tau * k)
+    e2 = e1 * e1
+    k2e = 2.0 * k * e1
+    rt_term = 1.0 / (k * (1.0 + e2) + gamma1 * (1.0 - e2))
+    rdif = rt_term * gamma2 * (1.0 - e2)
+    tdif = rt_term * k2e
+    k_mu = k * mu0b
+    k_mu2 = k_mu * k_mu
+    k_g3 = k * gamma3
+    k_g4 = k * gamma4
+    denom = jnp.where(jnp.abs(1.0 - k_mu2) >= eps, 1.0 - k_mu2, eps)
+    rt2 = ssa * rt_term / denom
+    rdir = rt2 * (
+        (1.0 - k_mu) * (alpha2 + k_g3)
+        - (1.0 + k_mu) * (alpha2 - k_g3) * e2
+        - k2e * (gamma3 - alpha2 * mu0b) * tnoscat
+    )
+    tdir = rt2 * (
+        k2e * (gamma4 + alpha1 * mu0b)
+        - tnoscat * ((1.0 + k_mu) * (alpha1 + k_g4)
+                     - (1.0 - k_mu) * (alpha1 - k_g4) * e2)
+    )
+    rdir = jnp.clip(rdir, 0.0, 1.0 - tnoscat)
+    tdir = jnp.clip(tdir, 0.0, 1.0 - tnoscat - rdir)
+    return rdif, tdif, rdir, tdir
+
+
+def _phase_direct(nlay, tile_c, ngpt, unroll, sweep_stored,
+                  inc_dir, s_a, s_b, s_c, dir_acc):
+    """Phase B: top-down direct beam. On entry s_c holds tau/mu0 and
+    s_a/s_b hold rdir/tdir; on exit s_a/s_b hold the direct-beam sources
+    (rdir*dinc / tdir*dinc), dir_acc the broadband direct sums, and the
+    surface direct flux is returned. Split out for the ablation."""
+    f32 = jnp.float32
+    if sweep_stored:
+        # stored-sweep: the only sequential dependence in the direct beam
+        # is the cumulative path -- the loop body shrinks to one add per
+        # layer (s_c[l] overwritten in place with the PRE-update path), and
+        # the exp, the source scaling, and the broadband reduction all run
+        # once over the full (nlay, tile, ngpt) block. Identical floats in
+        # identical order per element -> bit-exact vs the fused loop.
+        def down_path(l, path):
+            tau_l = s_c[l]
+            s_c[l] = path
+            return path + tau_l
+
+        path = jax.lax.fori_loop(
+            0, nlay, down_path, jnp.zeros((tile_c, ngpt), f32),
+            unroll=unroll)
+        dinc3 = inc_dir[None, :, :] * jnp.exp(-s_c[:, :, :])
+        dir_acc[pl.ds(0, nlay), :] = jnp.sum(dinc3, axis=2)
+        s_a[:, :, :] = s_a[:, :, :] * dinc3   # src_up
+        s_b[:, :, :] = s_b[:, :, :] * dinc3   # src_dn
+        dinc = inc_dir * jnp.exp(-path)
+        dir_acc[pl.ds(nlay, 1), :] = jnp.sum(dinc, axis=1)[None, :]
+        return dinc
+
+    def down_dir(l, path):
+        dinc_l = inc_dir * jnp.exp(-path)
+        dir_acc[pl.ds(l, 1), :] = jnp.sum(dinc_l, axis=1)[None, :]
+        s_a[l] = s_a[l] * dinc_l        # src_up
+        s_b[l] = s_b[l] * dinc_l        # src_dn
+        return path + s_c[l]
+
+    path = jax.lax.fori_loop(
+        0, nlay, down_dir, jnp.zeros((tile_c, ngpt), f32), unroll=unroll)
+    dinc = inc_dir * jnp.exp(-path)
+    dir_acc[pl.ds(nlay, 1), :] = jnp.sum(dinc, axis=1)[None, :]
+    return dinc
+
+
+def _phase_albedo(nlay, unroll, alb_sfc, src_sfc, s_rdif, s_tdif, s_a, s_b,
+                  s_c):
+    """Phase C: surface-to-top cumulative albedo/source, emitting the
+    PRE-update carry: s_c[l] = alb_below, s_a[l] = src_below (s_c's
+    tau/mu0 and s_a's src_up are each read for the last time in the same
+    iteration that overwrites them). Returns (alb_top, src_top)."""
+    def up_acc_fn(i, carry):
+        alb, src = carry
+        l = nlay - 1 - i
+        d = 1.0 / (1.0 - s_rdif[l] * alb)
+        src_new = s_a[l] + s_tdif[l] * d * (src + alb * s_b[l])
+        alb_new = s_rdif[l] + s_tdif[l] * s_tdif[l] * alb * d
+        s_c[l] = alb
+        s_a[l] = src
+        return alb_new, src_new
+
+    return jax.lax.fori_loop(0, nlay, up_acc_fn, (alb_sfc, src_sfc),
+                             unroll=unroll)
+
+
+def _phase_flux(nlay, unroll, sweep_stored, inc_dif,
+                s_rdif, s_tdif, s_a, s_b, s_c, dn_acc, up_acc):
+    """Phase D: top-down diffuse flux sweep with in-VMEM broadband
+    reduction (levels 1..nlay; level 0 is written by the caller)."""
+    if sweep_stored:
+        # the upward flux and both reductions are pure functions of the
+        # stored downward flux -- hoist them out of the recurrence (s_b[l]
+        # is dead after its read in iteration l, so it stores fdn_next)
+        def down_flux_s(l, fdn):
+            d = 1.0 / (1.0 - s_rdif[l] * s_c[l])
+            fdn_next = (s_tdif[l] * fdn + s_rdif[l] * s_a[l] + s_b[l]) * d
+            s_b[l] = fdn_next
+            return fdn_next
+
+        jax.lax.fori_loop(0, nlay, down_flux_s, inc_dif, unroll=unroll)
+        fdn_all = s_b[:, :, :]
+        fup_all = fdn_all * s_c[:, :, :] + s_a[:, :, :]
+        dn_acc[pl.ds(1, nlay), :] = jnp.sum(fdn_all, axis=2)
+        up_acc[pl.ds(1, nlay), :] = jnp.sum(fup_all, axis=2)
+        return
+
+    def down_flux(l, fdn):
+        d = 1.0 / (1.0 - s_rdif[l] * s_c[l])
+        fdn_next = (s_tdif[l] * fdn + s_rdif[l] * s_a[l] + s_b[l]) * d
+        fup = fdn_next * s_c[l] + s_a[l]
+        dn_acc[pl.ds(l + 1, 1), :] = jnp.sum(fdn_next, axis=1)[None, :]
+        up_acc[pl.ds(l + 1, 1), :] = jnp.sum(fup, axis=1)[None, :]
+        return fdn_next
+
+    jax.lax.fori_loop(0, nlay, down_flux, inc_dif, unroll=unroll)
+
+
 def _sw_mega_kernel(nlay, ngpt, nband, nf, n_cld, lut, tile_c, k_min, eps,
                     unroll, sweep_stored,
                     ff_ref, mu0_ref, incdir_ref, incdif_ref,
@@ -137,44 +281,9 @@ def _sw_mega_kernel(nlay, ngpt, nband, nf, n_cld, lut, tile_c, k_min, eps,
     # clear-sky specialization keeps the _sw_two_stream_coeffs structure so
     # f32 results match the staged path -- g enters only via
     # folded-constant zero products).
-    if n_cld or lut is not None:
-        gamma1 = (8.0 - ssa * (5.0 + 3.0 * g)) * 0.25
-        gamma2 = 3.0 * (ssa * (1.0 - g)) * 0.25
-        gamma3 = (2.0 - 3.0 * mu0b * g) * 0.25
-        gamma4 = 1.0 - gamma3
-    else:
-        gamma1 = (8.0 - ssa * 5.0) * 0.25
-        gamma2 = (3.0 * ssa) * 0.25
-        gamma3 = 0.5
-        gamma4 = 0.5
-    alpha1 = gamma1 * gamma4 + gamma2 * gamma3
-    alpha2 = gamma1 * gamma3 + gamma2 * gamma4
-    k = jnp.sqrt(jnp.maximum((gamma1 - gamma2) * (gamma1 + gamma2), k_min))
-    tnoscat = jnp.exp(-tau * mu0_inv)
-    e1 = jnp.exp(-tau * k)
-    e2 = e1 * e1
-    k2e = 2.0 * k * e1
-    rt_term = 1.0 / (k * (1.0 + e2) + gamma1 * (1.0 - e2))
-    rdif = rt_term * gamma2 * (1.0 - e2)
-    tdif = rt_term * k2e
-    k_mu = k * mu0b
-    k_mu2 = k_mu * k_mu
-    k_g3 = k * gamma3
-    k_g4 = k * gamma4
-    denom = jnp.where(jnp.abs(1.0 - k_mu2) >= eps, 1.0 - k_mu2, eps)
-    rt2 = ssa * rt_term / denom
-    rdir = rt2 * (
-        (1.0 - k_mu) * (alpha2 + k_g3)
-        - (1.0 + k_mu) * (alpha2 - k_g3) * e2
-        - k2e * (gamma3 - alpha2 * mu0b) * tnoscat
-    )
-    tdir = rt2 * (
-        k2e * (gamma4 + alpha1 * mu0b)
-        - tnoscat * ((1.0 + k_mu) * (alpha1 + k_g4)
-                     - (1.0 - k_mu) * (alpha1 - k_g4) * e2)
-    )
-    rdir = jnp.clip(rdir, 0.0, 1.0 - tnoscat)
-    tdir = jnp.clip(tdir, 0.0, 1.0 - tnoscat - rdir)
+    rdif, tdif, rdir, tdir = _pifm_coeffs(
+        tau, ssa, g if (n_cld or lut is not None) else None, mu0b,
+        k_min, eps, general_g=bool(n_cld or lut is not None))
 
     s_rdif[:, :, :] = rdif.reshape(nlay, tile_c, ngpt)
     s_tdif[:, :, :] = tdif.reshape(nlay, tile_c, ngpt)
@@ -189,59 +298,14 @@ def _sw_mega_kernel(nlay, ngpt, nband, nf, n_cld, lut, tile_c, k_min, eps,
     # to ~3e-4 relative (0.37 W/m2 at TOA) while the cumulative form
     # matches the staged exp(-cumsum) path to f32 summation order.
     inc_dir = incdir_ref[:, :]
-
-    if sweep_stored:
-        # stored-sweep: the only sequential dependence in the direct beam
-        # is the cumulative path -- the loop body shrinks to one add per
-        # layer (s_c[l] overwritten in place with the PRE-update path), and
-        # the exp, the source scaling, and the broadband reduction all run
-        # once over the full (nlay, tile, ngpt) block. Identical floats in
-        # identical order per element -> bit-exact vs the fused loop.
-        def down_path(l, path):
-            tau_l = s_c[l]
-            s_c[l] = path
-            return path + tau_l
-
-        path = jax.lax.fori_loop(
-            0, nlay, down_path, jnp.zeros((tile_c, ngpt), f32),
-            unroll=unroll)
-        dinc3 = inc_dir[None, :, :] * jnp.exp(-s_c[:, :, :])
-        dir_acc[pl.ds(0, nlay), :] = jnp.sum(dinc3, axis=2)
-        s_a[:, :, :] = s_a[:, :, :] * dinc3   # src_up
-        s_b[:, :, :] = s_b[:, :, :] * dinc3   # src_dn
-        dinc = inc_dir * jnp.exp(-path)
-        dir_acc[pl.ds(nlay, 1), :] = jnp.sum(dinc, axis=1)[None, :]
-    else:
-        def down_dir(l, path):
-            dinc_l = inc_dir * jnp.exp(-path)
-            dir_acc[pl.ds(l, 1), :] = jnp.sum(dinc_l, axis=1)[None, :]
-            s_a[l] = s_a[l] * dinc_l        # src_up
-            s_b[l] = s_b[l] * dinc_l        # src_dn
-            return path + s_c[l]
-
-        path = jax.lax.fori_loop(
-            0, nlay, down_dir, jnp.zeros((tile_c, ngpt), f32), unroll=unroll)
-        dinc = inc_dir * jnp.exp(-path)
-        dir_acc[pl.ds(nlay, 1), :] = jnp.sum(dinc, axis=1)[None, :]
+    dinc = _phase_direct(nlay, tile_c, ngpt, unroll, sweep_stored,
+                         inc_dir, s_a, s_b, s_c, dir_acc)
 
     # ---- phase C: surface-to-top cumulative albedo/source ---------------
-    # emits the PRE-update carry: s_c[l] = alb_below, s_a[l] = src_below
-    # (s_c's tnoscat and s_a's src_up are each read for the last time in
-    # the same iteration that overwrites them)
-    def up_acc_fn(i, carry):
-        alb, src = carry
-        l = nlay - 1 - i
-        d = 1.0 / (1.0 - s_rdif[l] * alb)
-        src_new = s_a[l] + s_tdif[l] * d * (src + alb * s_b[l])
-        alb_new = s_rdif[l] + s_tdif[l] * s_tdif[l] * alb * d
-        s_c[l] = alb
-        s_a[l] = src
-        return alb_new, src_new
-
     alb_sfc = albdif_ref[:, :]
     src_sfc = dinc * albdir_ref[:, :]
-    alb_top, src_top = jax.lax.fori_loop(
-        0, nlay, up_acc_fn, (alb_sfc, src_sfc), unroll=unroll)
+    alb_top, src_top = _phase_albedo(
+        nlay, unroll, alb_sfc, src_sfc, s_rdif, s_tdif, s_a, s_b, s_c)
 
     inc_dif = incdif_ref[:, :]
     dn_acc[pl.ds(0, 1), :] = jnp.sum(inc_dif, axis=1)[None, :]
@@ -249,31 +313,8 @@ def _sw_mega_kernel(nlay, ngpt, nband, nf, n_cld, lut, tile_c, k_min, eps,
         inc_dif * alb_top + src_top, axis=1)[None, :]
 
     # ---- phase D: top-down diffuse flux sweep + broadband reduction ------
-    if sweep_stored:
-        # the upward flux and both reductions are pure functions of the
-        # stored downward flux -- hoist them out of the recurrence (s_b[l]
-        # is dead after its read in iteration l, so it stores fdn_next)
-        def down_flux_s(l, fdn):
-            d = 1.0 / (1.0 - s_rdif[l] * s_c[l])
-            fdn_next = (s_tdif[l] * fdn + s_rdif[l] * s_a[l] + s_b[l]) * d
-            s_b[l] = fdn_next
-            return fdn_next
-
-        jax.lax.fori_loop(0, nlay, down_flux_s, inc_dif, unroll=unroll)
-        fdn_all = s_b[:, :, :]
-        fup_all = fdn_all * s_c[:, :, :] + s_a[:, :, :]
-        dn_acc[pl.ds(1, nlay), :] = jnp.sum(fdn_all, axis=2)
-        up_acc[pl.ds(1, nlay), :] = jnp.sum(fup_all, axis=2)
-    else:
-        def down_flux(l, fdn):
-            d = 1.0 / (1.0 - s_rdif[l] * s_c[l])
-            fdn_next = (s_tdif[l] * fdn + s_rdif[l] * s_a[l] + s_b[l]) * d
-            fup = fdn_next * s_c[l] + s_a[l]
-            dn_acc[pl.ds(l + 1, 1), :] = jnp.sum(fdn_next, axis=1)[None, :]
-            up_acc[pl.ds(l + 1, 1), :] = jnp.sum(fup, axis=1)[None, :]
-            return fdn_next
-
-        jax.lax.fori_loop(0, nlay, down_flux, inc_dif, unroll=unroll)
+    _phase_flux(nlay, unroll, sweep_stored, inc_dif,
+                s_rdif, s_tdif, s_a, s_b, s_c, dn_acc, up_acc)
 
     dirs = dir_acc[:, :]
     up_ref[:, :] = jnp.transpose(up_acc[:, :], (1, 0))

@@ -80,16 +80,31 @@ def main() -> None:
          for k, v in data.gas_concs.concs.items()},
     ))
 
-    real_mlp = SWM._mlp_tau
-    real_fori = jax.lax.fori_loop
+    real = {n: getattr(SWM, n) for n in (
+        "_mlp_tau", "_pifm_coeffs", "_phase_direct", "_phase_albedo",
+        "_phase_flux")}
 
     def fake_mlp(ff, nf, w1, b1, w2, b2, w3, b3, omean, ostd, col_dry):
         # constant spectral tau, kills both nets
         return jnp.broadcast_to(col_dry * jnp.float32(1e-3),
                                 (ff.shape[0], omean.shape[1]))
 
-    def fake_fori(lo, hi, body, init, unroll=None):
-        return init
+    def fake_pifm(tau, ssa, g, mu0b, k_min, eps, general_g):
+        # no exp/sqrt/div: four cheap products with the right shapes
+        z = tau * jnp.float32(0.25)
+        return z, z * 0.5, z * 0.25, z * 0.125
+
+    def fake_direct(nlay, tile_c, ngpt, unroll, sweep_stored,
+                    inc_dir, s_a, s_b, s_c, dir_acc):
+        return inc_dir
+
+    def fake_albedo(nlay, unroll, alb_sfc, src_sfc, s_rdif, s_tdif, s_a,
+                    s_b, s_c):
+        return alb_sfc, src_sfc
+
+    def fake_flux(nlay, unroll, sweep_stored, inc_dif,
+                  s_rdif, s_tdif, s_a, s_b, s_c, dn_acc, up_acc):
+        return None
 
     def timed():
         fn = jax.jit(functools.partial(
@@ -107,19 +122,27 @@ def main() -> None:
         return best * 1e3
 
     variants = []
-    for name, mlp, fori in [
-        ("full", real_mlp, real_fori),
-        ("no-mlp", fake_mlp, real_fori),
-        ("no-sweeps", real_mlp, fake_fori),
-        ("no-mlp-no-sweeps", fake_mlp, fake_fori),
+    for name, patches in [
+        ("full", {}),
+        ("no-mlp", {"_mlp_tau": fake_mlp}),
+        ("no-pifm", {"_pifm_coeffs": fake_pifm}),
+        ("no-direct", {"_phase_direct": fake_direct}),
+        ("no-albedo", {"_phase_albedo": fake_albedo}),
+        ("no-flux", {"_phase_flux": fake_flux}),
+        ("no-sweeps", {"_phase_direct": fake_direct,
+                       "_phase_albedo": fake_albedo,
+                       "_phase_flux": fake_flux}),
+        ("bare", {"_mlp_tau": fake_mlp, "_pifm_coeffs": fake_pifm,
+                  "_phase_direct": fake_direct,
+                  "_phase_albedo": fake_albedo, "_phase_flux": fake_flux}),
     ]:
-        SWM._mlp_tau = mlp
-        jax.lax.fori_loop = fori
+        for n, f in patches.items():
+            setattr(SWM, n, f)
         try:
             ms = timed()
         finally:
-            SWM._mlp_tau = real_mlp
-            jax.lax.fori_loop = real_fori
+            for n in patches:
+                setattr(SWM, n, real[n])
         variants.append((name, ms))
         print(f"{name:24s}: {ms:8.3f} ms", flush=True)
     base = dict(variants)["full"]

@@ -1,0 +1,83 @@
+"""Capture a jax.profiler trace of the SW megakernel core on the TPU.
+
+Usage: python scripts/trace_sw.py [outdir] [mult] [tile]
+Then summarize with scripts/trace_summarize.py.
+"""
+from __future__ import annotations
+
+import functools
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from rte_rrtmgp_nn_tpu.drivers.rfmip import (
+        _sw_core_mega,
+        resolve_solar_source,
+    )
+    from rte_rrtmgp_nn_tpu.drivers.rfmip_io import read_rfmip
+    from rte_rrtmgp_nn_tpu.gasoptics.planck import sw_spectral_g112
+    from rte_rrtmgp_nn_tpu.models.network import load_model_netcdf
+
+    outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/swtrace"
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    tile = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    data = read_rfmip(
+        "/root/reference/examples/rfmip-clear-sky/"
+        "multiple_input4MIPs_radiation_RFMIP_UColorado-RFMIP-1-2_none.nc"
+    )
+    if mult > 1:
+        import dataclasses
+        rep = lambda a: np.concatenate([a] * mult, axis=0)
+        data = dataclasses.replace(
+            data,
+            play=rep(data.play), plev=rep(data.plev), tlay=rep(data.tlay),
+            tlev=rep(data.tlev), tsfc=rep(data.tsfc),
+            sfc_emis=rep(data.sfc_emis), sfc_alb=rep(data.sfc_alb),
+            sza=rep(data.sza), tsi=rep(data.tsi),
+            gas_concs=type(data.gas_concs)({
+                k: (rep(v) if getattr(v, "ndim", 0) == 2 else v)
+                for k, v in data.gas_concs.concs.items()
+            }),
+            nexp=data.nexp * mult,
+        )
+    ncol = data.ncol
+    D = "/root/reference/neural/data/"
+    models = [load_model_netcdf(D + "sw-g112-210809_absorption_BEST.nc"),
+              load_model_netcdf(D + "sw-g112-210809_rayleigh_BEST.nc")]
+    spec = sw_spectral_g112()
+    solar = jnp.asarray(resolve_solar_source(spec), jnp.float32)
+    mu0 = np.cos(np.deg2rad(data.sza))
+    usecol = data.sza < 90.0 - 0.5 * np.finfo(np.float32).eps
+    args = jax.device_put((
+        jnp.asarray(data.play, jnp.float32),
+        jnp.asarray(data.plev, jnp.float32),
+        jnp.asarray(data.tlay, jnp.float32),
+        jnp.asarray(data.sfc_alb, jnp.float32),
+        jnp.asarray(mu0, jnp.float32), jnp.asarray(usecol),
+        jnp.asarray(data.tsi, jnp.float32),
+        {k: jnp.asarray(v, jnp.float32)
+         for k, v in data.gas_concs.concs.items()},
+    ))
+    print(f"ncol = {ncol}  tile = {tile}", flush=True)
+    fn = jax.jit(functools.partial(
+        _sw_core_mega, models, spec, solar, top_at_1=data.top_at_1,
+        tile_c=tile))
+    jax.block_until_ready(fn(*args))  # compile
+    with jax.profiler.trace(outdir):
+        for _ in range(10):
+            out = fn(*args)
+        jax.block_until_ready(out)
+    print("trace written to", outdir)
+
+
+if __name__ == "__main__":
+    main()
