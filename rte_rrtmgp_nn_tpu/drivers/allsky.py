@@ -309,7 +309,7 @@ def _allsky_sw_core_mega(
     import numpy as np
 
     from ..gasoptics.nn_gas_optics import (
-        compute_nn_inputs,
+        compute_nn_inputs_split,
         get_col_dry_lay_major,
     )
     from ..ops.pallas.sw_megakernel import sw_clearsky_megakernel
@@ -318,11 +318,12 @@ def _allsky_sw_core_mega(
     nlay, ncol = play_t.shape
     col_dry_t = get_col_dry_lay_major(
         gd_t.get_vmr("h2o", nlay, ncol), plev_t)
-    x = compute_nn_inputs(play_t, tlay_t, gd_t, models[0])
+    x2d, const_feats, perm = compute_nn_inputs_split(
+        play_t, tlay_t, gd_t, models[0], (), lay_major=True)
 
     one_hot = jnp.asarray(
         (spectral.gpt2band[None, :] == np.arange(spectral.nband)[:, None]),
-        x.dtype,
+        x2d[0].dtype,
     )
     if cloud_co.is_lut:
         # LUT cloud optics + delta-scale run fully IN-KERNEL (see LW)
@@ -341,9 +342,9 @@ def _allsky_sw_core_mega(
     alb_dir = spectral.expand(sfc_alb_dir)
     alb_dif = spectral.expand(sfc_alb_dif)
     up, dn, dn_dir = sw_clearsky_megakernel(
-        models[0], models[1], x, col_dry_t, mu0,
+        models[0], models[1], x2d, col_dry_t, mu0,
         toa_src * mu0[:, None], alb_dir, alb_dif, tile_c=tile_c,
-        one_hot=one_hot, **cld_kw,
+        one_hot=one_hot, const_feats=const_feats, perm=perm, **cld_kw,
     )
     if not top_at_1:
         up, dn, dn_dir = up[:, ::-1], dn[:, ::-1], dn_dir[:, ::-1]

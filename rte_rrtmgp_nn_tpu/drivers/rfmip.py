@@ -233,30 +233,38 @@ def _sw_core_mega_canon(
     solar_source,
     play_t, plev_t, tlay_t, sfc_alb, mu0, usecol, tsi, concs_t,
     top_at_1: bool,
-    tile_c: int = 48,
+    tile_c: int | None = None,  # None: 32 small batches, 64 large (measured)
     sweep_stored: bool = False,
 ):
     """_sw_core_mega on CANONICAL lay-major top-at-0 inputs (see
     canonicalize_rfmip_inputs / _lw_core_mega4_canon)."""
     from ..gasoptics.nn_gas_optics import (
-        compute_nn_inputs,
+        compute_nn_inputs_split,
         get_col_dry_lay_major,
     )
     from ..ops.pallas.sw_megakernel import sw_clearsky_megakernel
 
     gd_t = GasConcs(concs_t)
     nlay, ncol = play_t.shape
+    if tile_c is None:
+        # measured crossover (lane-stack kernel): 1800 cols 2.27 ms @32 vs
+        # 2.34 @48; 57.6k 28.2 @32 vs 28.2 @64 vs 28.8 @48, 32.1 @128
+        tile_c = 32 if ncol < 16384 else 64
     col_dry_t = get_col_dry_lay_major(
         gd_t.get_vmr("h2o", nlay, ncol), plev_t)
-    x = compute_nn_inputs(play_t, tlay_t, gd_t, models[0])
+    # per-lane scaled 2-D features + ONE fused concat in the kernel
+    # wrapper: a pre-stacked 3-D nn_inputs costs ~13.5 ms of lane-major
+    # relayouts at 57.6k cols (round-4 trace, docs/PERFORMANCE.md)
+    x2d, const_feats, perm = compute_nn_inputs_split(
+        play_t, tlay_t, gd_t, models[0], (), lay_major=True)
     toa_src = jnp.broadcast_to(solar_source[None, :], (ncol, spectral.ngpt))
     toa_src = toa_src * (tsi / jnp.sum(toa_src, axis=-1))[:, None]
     alb_gpt = sfc_alb[:, None] * jnp.ones_like(toa_src)
     mu0_safe = jnp.where(usecol, mu0, 1.0)
     up, dn, dn_dir = sw_clearsky_megakernel(
-        models[0], models[1], x, col_dry_t, mu0_safe,
+        models[0], models[1], x2d, col_dry_t, mu0_safe,
         toa_src * mu0_safe[:, None], alb_gpt, alb_gpt, tile_c=tile_c,
-        sweep_stored=sweep_stored,
+        sweep_stored=sweep_stored, const_feats=const_feats, perm=perm,
     )
     if not top_at_1:
         up, dn, dn_dir = up[:, ::-1], dn[:, ::-1], dn_dir[:, ::-1]
@@ -321,7 +329,7 @@ def lw_mega_core_sharded(mesh, models, planck_table, spectral, top_at_1,
 
 
 def sw_mega_core_sharded(mesh, models, spectral, solar_source, top_at_1,
-                         tile_c: int = 48):
+                         tile_c: int | None = None):
     """``_sw_core_mega_canon`` under shard_map over 'col' (see
     lw_mega_core_sharded). Returns a jittable ``fn(play_t, plev_t, tlay_t,
     sfc_alb, mu0, usecol, tsi, concs_t) -> (flux_up, flux_dn, flux_dn_dir)``."""
@@ -757,7 +765,10 @@ def _sw_core_mega(
     both adding sweeps in one Pallas kernel; only the feature pack and TSI
     renormalization stay in XLA. Numerics match _sw_core_lay_major to f32
     accumulation order."""
-    from ..gasoptics.nn_gas_optics import compute_nn_inputs, get_col_dry
+    from ..gasoptics.nn_gas_optics import (
+        compute_nn_inputs_split,
+        get_col_dry,
+    )
     from ..ops.pallas.sw_megakernel import sw_clearsky_megakernel
 
     gas_desc = GasConcs(concs_dict)
@@ -771,23 +782,24 @@ def _sw_core_mega(
         h2o = h2o[:, ::-1]
     col_dry_t = get_col_dry(h2o, plev).T
 
-    concs_t = {}
+    concs_flip = {}
     for name in gas_desc.concs:
         full = gas_desc.get_vmr(name, ncol, nlay)
         if not top_at_1:
             full = full[:, ::-1]
-        concs_t[name] = full.T
-    gd_t = GasConcs(concs_t)
+        concs_flip[name] = full
+    gd_f = GasConcs(concs_flip)
 
-    x = compute_nn_inputs(play.T, tlay.T, gd_t, models[0])
+    x2d, const_feats, perm = compute_nn_inputs_split(
+        play, tlay, gd_f, models[0], ())
     toa_src = jnp.broadcast_to(solar_source[None, :], (ncol, spectral.ngpt))
     toa_src = toa_src * (tsi / jnp.sum(toa_src, axis=-1))[:, None]
     alb_gpt = sfc_alb[:, None] * jnp.ones_like(toa_src)
     mu0_safe = jnp.where(usecol, mu0, 1.0)
     up, dn, dn_dir = sw_clearsky_megakernel(
-        models[0], models[1], x, col_dry_t, mu0_safe,
+        models[0], models[1], x2d, col_dry_t, mu0_safe,
         toa_src * mu0_safe[:, None], alb_gpt, alb_gpt, tile_c=tile_c,
-        sweep_stored=sweep_stored,
+        sweep_stored=sweep_stored, const_feats=const_feats, perm=perm,
     )
     if not top_at_1:
         up, dn, dn_dir = up[:, ::-1], dn[:, ::-1], dn_dir[:, ::-1]
@@ -831,7 +843,7 @@ def rfmip_clear_sky_sw(
         core = functools.partial(
             _sw_core_mega_canon, models, spectral,
             jnp.asarray(solar_source, dtype),
-            top_at_1=data.top_at_1, tile_c=48,
+            top_at_1=data.top_at_1,
         )
         return jax.jit(core)(
             jnp.asarray(play_t, dtype), jnp.asarray(plev_t, dtype),

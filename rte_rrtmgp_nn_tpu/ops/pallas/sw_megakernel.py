@@ -42,17 +42,29 @@ from ...config import config
 from .lw_megakernel import _cloud_lut_interp, _dot3split, _softsign
 
 
-def _mlp_tau(ff, nf, w1, b1, w2, b2, w3, b3, omean, ostd, col_dry):
-    """One SW net: 3 GEMMs + softsign, (ystd*y+ymean)^8 * col_dry."""
+def _mlp_tau2(ff, n2d, w1, b1, w2, b2, w3, b3, omean, ostd, col_dry,
+              hc_rows):
+    """BOTH SW nets as one merged chain: the absorption and rayleigh MLPs
+    share their inputs (identical input_names + scaling in the shipped
+    models), so their first-layer weights concatenate along N and the
+    deeper layers ride one block-diagonal GEMM each -- the MXU pads K and N
+    to 128 anyway, so three dots replace six at zero extra FLOP cost.
+    Off-block zeros contribute exact +0.0 products, keeping every lane
+    bit-identical to the separate nets. Returns (tau_abs, tau_ray);
+    hc_rows is the constant-per-column first-layer contribution
+    (const_feats @ w1c, see lw_megakernel._mega4_kernel)."""
     f32 = jnp.float32
-    x = ff[:, :nf]
-    h = _softsign(jnp.dot(x, w1[:, :], preferred_element_type=f32) + b1[0, :])
+    x = ff[:, :n2d]
+    h = _softsign(jnp.dot(x, w1[:, :], preferred_element_type=f32)
+                  + hc_rows + b1[0, :])
     h = _softsign(jnp.dot(h, w2[:, :], preferred_element_type=f32) + b2[0, :])
     y = jnp.dot(h, w3[:, :], preferred_element_type=f32) + b3[0, :]
     yt = ostd[0, :] * y + omean[0, :]
     y2 = yt * yt
     y4 = y2 * y2
-    return (y4 * y4) * col_dry
+    t = (y4 * y4) * col_dry
+    ngpt = omean.shape[1] // 2
+    return t[:, :ngpt], t[:, ngpt:]
 
 
 def _pifm_coeffs(tau, ssa, g, mu0b, k_min, eps, general_g):
@@ -199,23 +211,28 @@ def _phase_flux(nlay, unroll, sweep_stored, inc_dif,
     jax.lax.fori_loop(0, nlay, down_flux, inc_dif, unroll=unroll)
 
 
-def _sw_mega_kernel(nlay, ngpt, nband, nf, n_cld, lut, tile_c, k_min, eps,
+def _sw_mega_kernel(nlay, ngpt, nband, n2d, n_cld, lut, tile_c, k_min, eps,
                     unroll, sweep_stored,
-                    ff_ref, mu0_ref, incdir_ref, incdif_ref,
+                    ff_ref, cf_ref, mu0_ref, incdir_ref, incdif_ref,
                     albdir_ref, albdif_ref, oh_ref,
                     cliq_hi, cliq_mid, cliq_lo, cice_hi, cice_mid, cice_lo,
-                    wa1, ba1, wa2, ba2, wa3, ba3, oma, osa,
-                    wr1, br1, wr2, br2, wr3, br3, omr, osr,
+                    w1_ref, w1c_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                    om_ref, os_ref,
                     up_ref, dn_ref, dir_ref,
                     s_rdif, s_tdif, s_a, s_b, s_c, dn_acc, up_acc, dir_acc):
     f32 = jnp.float32
     rows = nlay * tile_c
 
-    # ---- phase A: batched MLPs + PIFM two-stream coefficients ------------
+    # ---- phase A: batched merged MLPs + PIFM two-stream coefficients -----
     ff = ff_ref[:, :, :].reshape(rows, ff_ref.shape[-1])
-    cd = ff[:, nf:nf + 1]
-    tau_abs = _mlp_tau(ff, nf, wa1, ba1, wa2, ba2, wa3, ba3, oma, osa, cd)
-    tau_ray = _mlp_tau(ff, nf, wr1, br1, wr2, br2, wr3, br3, omr, osr, cd)
+    cd = ff[:, n2d:n2d + 1]
+    hc = jnp.dot(cf_ref[:, :], w1c_ref[:, :], preferred_element_type=f32)
+    hc_rows = jnp.broadcast_to(
+        hc[None, :, :], (nlay, tile_c, hc.shape[-1])
+    ).reshape(rows, hc.shape[-1])
+    tau_abs, tau_ray = _mlp_tau2(
+        ff, n2d, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+        om_ref, os_ref, cd, hc_rows)
     tau_gas = tau_abs + tau_ray
     tau_safe = jnp.where(tau_gas > 0, tau_gas, 1.0)
     ssa_gas = jnp.where(tau_gas > 0, tau_ray / tau_safe, 0.0)
@@ -226,7 +243,7 @@ def _sw_mega_kernel(nlay, ngpt, nband, nf, n_cld, lut, tile_c, k_min, eps,
         # extensions/cloud_optics.py + optical_props.delta_scale)
         n_liq, n_ice, liq_off, liq_step, ice_off, ice_step = lut
         oh = oh_ref[:, :]
-        o_c = nf + 1
+        o_c = n2d + 1
         lt, lts, ltsg = _cloud_lut_interp(
             ff[:, o_c:o_c + 1], ff[:, o_c + 2:o_c + 3],
             cliq_hi[:, :], cliq_mid[:, :], cliq_lo[:, :],
@@ -260,7 +277,7 @@ def _sw_mega_kernel(nlay, ngpt, nband, nf, n_cld, lut, tile_c, k_min, eps,
         # core (inc_2stream_by_2stream_bybnd,
         # mo_optical_props_kernels.F90:269-305 with zero gas asymmetry)
         oh = oh_ref[:, :]
-        o_c = nf + 1
+        o_c = n2d + 1
         tc = _dot3split(ff[:, o_c:o_c + n_cld], oh)
         tsc = _dot3split(ff[:, o_c + n_cld:o_c + 2 * n_cld], oh)
         tgc = _dot3split(ff[:, o_c + 2 * n_cld:o_c + 3 * n_cld], oh)
@@ -325,7 +342,9 @@ def _sw_mega_kernel(nlay, ngpt, nband, nf, n_cld, lut, tile_c, k_min, eps,
 def sw_clearsky_megakernel(
     abs_model,
     ray_model,
-    nn_inputs,        # (nlay, ncol, nf) scaled features, layer-major
+    nn_inputs,        # SCALED layer-varying features: list of (nlay, ncol)
+                      #   lanes (preferred: one fused concat, see lw mega4)
+                      #   or a single (nlay, ncol, n2d) array
     col_dry,          # (nlay, ncol)
     mu0,              # (ncol,) cosine of solar zenith (night cols pre-safed)
     inc_flux_dir,     # (ncol, ngpt) TOA direct spectral flux * mu0
@@ -342,14 +361,28 @@ def sw_clearsky_megakernel(
                       #   cloud-optics LUT path (needs cld_lut)
     cld_lut=None,     # lw_megakernel.cloud_lut_pack(co) result
     sweep_stored: bool = False,  # hoist exp/reductions out of the sweeps
+    const_feats=None,  # (ncol, nc) SCALED constant-per-column features
+    perm=None,         # lane order -> model input row map (see
+                       #   compute_nn_inputs_split); identity if None
 ):
     """Fully fused SW pipeline: packed features in, broadband
     (ncol, nlay+1) (flux_up, flux_dn_total, flux_dn_dir) out, ONE Pallas
     kernel. Canonical top-at-0 layer order (flip outside for top_at_1 ==
-    False), f32, two 3-layer softsign nets (abs + rayleigh).
+    False), f32, two 3-layer softsign nets (abs + rayleigh) merged into one
+    block-diagonal GEMM chain (bit-identical, see _mlp_tau2). The two nets
+    must share input_names and input scaling (true of the shipped SW
+    models; validated here).
 
     Numerics match sw_solver_2stream_lay_major(broadband=True) to f32
     accumulation order; see _sw_mega_kernel for the phase structure.
+
+    Pass nn_inputs as a LIST of per-lane scaled (nlay, ncol) arrays
+    (compute_nn_inputs_split) on the hot path: a pre-stacked 3-D array
+    makes XLA materialize the features lane-major and then relayout them
+    twice into the tile-padded kernel operand (~13.5 ms of the 39 ms call
+    at 57.6k columns, round-4 trace); the lane list collapses that to the
+    single fused concatenate + one operand relayout, exactly like
+    lw_clearsky_mega4.
 
     cld_bands turns the kernel into the ALL-SKY SW pipeline: the three
     delta-scaled cloud 2-stream products ride 3*nband extra input lanes,
@@ -361,7 +394,15 @@ def sw_clearsky_megakernel(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    nlay, ncol, nf = nn_inputs.shape
+    lanes2d = None
+    if isinstance(nn_inputs, (list, tuple)):
+        n2d = len(nn_inputs)
+        nlay, ncol = nn_inputs[0].shape
+        lanes2d = [l.astype(jnp.float32) for l in nn_inputs]
+        lane_parts = [l[..., None] for l in lanes2d]
+    else:
+        nlay, ncol, n2d = nn_inputs.shape
+        lane_parts = [nn_inputs.astype(jnp.float32)]
     if unroll is None:
         # Mosaic supports only unroll=1 or full; fully unrolling the three
         # sweep loops kills per-iteration loop/index overhead (measured
@@ -371,7 +412,7 @@ def sw_clearsky_megakernel(
     ngpt = abs_model.weights[-1].shape[-1]
     f32 = jnp.float32
 
-    parts = [nn_inputs.astype(f32), col_dry.astype(f32)[..., None]]
+    parts = lane_parts + [col_dry.astype(f32)[..., None]]
     n_cld = 0
     lut_static = None
     nband = 1
@@ -392,11 +433,28 @@ def sw_clearsky_megakernel(
     if lut_static is None:
         z = jnp.zeros((1, 1), f32)
         liq3 = ice3 = (z, z, z)
-    fused = jnp.concatenate(parts, axis=-1)  # ONE concat (see lw mega4)
+    if lanes2d is not None and cld_bands is None:
+        # All parts are 2-D lanes: assemble the fused operand as ONE
+        # contiguous lane-major stack (perfectly tiled writes) followed by
+        # ONE transpose copy into the kernel's lane-minor layout. Left to
+        # itself XLA relayouts every (nlay, ncol, 1) lane separately and
+        # concatenates in the tile-padded domain (8 x 2.65 ms copies +
+        # 22 ms concat at 57.6k cols, round-4 trace); the barrier pins the
+        # cheap stack | single copy schedule.
+        parts2d = lanes2d + [p[..., 0] for p in parts[len(lanes2d):]]
+        big = jax.lax.optimization_barrier(jnp.stack(parts2d, axis=0))
+        fused = jnp.transpose(big, (1, 2, 0))
+    else:
+        fused = jnp.concatenate(parts, axis=-1)  # ONE concat (see lw mega4)
     nfu = fused.shape[-1]
     mu0c = mu0.astype(f32)[:, None]
     if inc_flux_dif is None:
         inc_flux_dif = jnp.zeros((ncol, ngpt), f32)
+
+    if const_feats is None:
+        const_feats = jnp.zeros((ncol, 1), f32)
+    const_feats = const_feats.astype(f32)
+    nc = const_feats.shape[-1]
 
     cpad = (-ncol) % tile_c
     if cpad:
@@ -408,17 +466,49 @@ def sw_clearsky_megakernel(
         inc_flux_dif = pad2(inc_flux_dif)
         sfc_alb_dir = pad2(sfc_alb_dir)
         sfc_alb_dif = pad2(sfc_alb_dif)
+        const_feats = pad2(const_feats)
     n = fused.shape[1]
     grid = (n // tile_c,)
 
     row2 = lambda a: jnp.asarray(a, f32).reshape(1, -1)
 
-    def net_args(m):
-        w1, w2, w3 = m.weights
-        b1, b2, b3 = m.biases
-        return (w1.astype(f32), row2(b1), w2.astype(f32), row2(b2),
-                w3.astype(f32), row2(b3),
-                row2(m.output_mean), row2(m.output_std))
+    # ---- merge the two nets into one block-diagonal GEMM chain ----------
+    if tuple(abs_model.input_names) != tuple(ray_model.input_names):
+        raise ValueError("SW megakernel requires matching abs/ray inputs")
+    if perm is None:
+        perm = list(range(n2d))
+        if nc > 1 or len(abs_model.input_names) != n2d:
+            raise ValueError("const_feats requires an explicit perm")
+
+    def split_w1(m):
+        w1 = jnp.asarray(m.weights[0], f32)
+        w1a = w1[np.asarray(perm[:n2d])]
+        w1c = (w1[np.asarray(perm[n2d:])] if len(perm) > n2d
+               else jnp.zeros((nc, w1.shape[1]), f32))
+        return w1a, w1c
+
+    def bdiag(a, b):
+        a = jnp.asarray(a, f32)
+        b = jnp.asarray(b, f32)
+        return jnp.concatenate([
+            jnp.concatenate([a, jnp.zeros((a.shape[0], b.shape[1]), f32)], 1),
+            jnp.concatenate([jnp.zeros((b.shape[0], a.shape[1]), f32), b], 1),
+        ], 0)
+
+    w1a_a, w1c_a = split_w1(abs_model)
+    w1a_r, w1c_r = split_w1(ray_model)
+    w1cat = jnp.concatenate([w1a_a, w1a_r], 1)
+    w1ccat = jnp.concatenate([w1c_a, w1c_r], 1)
+    cat1 = lambda f: row2(jnp.concatenate(
+        [jnp.asarray(f(abs_model), f32).ravel(),
+         jnp.asarray(f(ray_model), f32).ravel()]))
+    b1cat = cat1(lambda m: m.biases[0])
+    b2cat = cat1(lambda m: m.biases[1])
+    b3cat = cat1(lambda m: m.biases[2])
+    omcat = cat1(lambda m: m.output_mean)
+    oscat = cat1(lambda m: m.output_std)
+    w2bd = bdiag(abs_model.weights[1], ray_model.weights[1])
+    w3bd = bdiag(abs_model.weights[2], ray_model.weights[2])
 
     rep = lambda shp: pl.BlockSpec(shp, lambda i: (0,) * len(shp),
                                    memory_space=pltpu.VMEM)
@@ -427,17 +517,8 @@ def sw_clearsky_megakernel(
     out_bs = pl.BlockSpec((tile_c, nlay + 1), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
 
-    def net_specs(m):
-        w1, w2, w3 = m.weights
-        b1, b2, b3 = m.biases
-        return [rep(w1.shape), rep((1, b1.shape[0])),
-                rep(w2.shape), rep((1, b2.shape[0])),
-                rep(w3.shape), rep((1, b3.shape[0])),
-                rep((1, m.output_mean.shape[0])),
-                rep((1, m.output_std.shape[0]))]
-
     kernel = functools.partial(
-        _sw_mega_kernel, nlay, ngpt, nband, nf, n_cld, lut_static, tile_c,
+        _sw_mega_kernel, nlay, ngpt, nband, n2d, n_cld, lut_static, tile_c,
         float(config.k_min), float(np.finfo(np.float32).eps), unroll,
         sweep_stored,
     )
@@ -447,10 +528,13 @@ def sw_clearsky_megakernel(
         in_specs=[
             pl.BlockSpec((nlay, tile_c, nfu), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            col2(1), col2(ngpt), col2(ngpt), col2(ngpt), col2(ngpt),
+            col2(nc), col2(1), col2(ngpt), col2(ngpt), col2(ngpt),
+            col2(ngpt),
             rep(one_hot.shape),
             *(rep(t.shape) for t in (*liq3, *ice3)),
-            *net_specs(abs_model), *net_specs(ray_model),
+            rep(w1cat.shape), rep(w1ccat.shape), rep(b1cat.shape),
+            rep(w2bd.shape), rep(b2cat.shape), rep(w3bd.shape),
+            rep(b3cat.shape), rep(omcat.shape), rep(oscat.shape),
         ],
         out_specs=(out_bs, out_bs, out_bs),
         out_shape=(jax.ShapeDtypeStruct((n, nlay + 1), f32),) * 3,
@@ -471,9 +555,10 @@ def sw_clearsky_megakernel(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
-        fused, mu0c, inc_flux_dir.astype(f32), inc_flux_dif.astype(f32),
+        fused, const_feats, mu0c, inc_flux_dir.astype(f32),
+        inc_flux_dif.astype(f32),
         sfc_alb_dir.astype(f32), sfc_alb_dif.astype(f32), one_hot,
         *liq3, *ice3,
-        *net_args(abs_model), *net_args(ray_model),
+        w1cat, w1ccat, b1cat, w2bd, b2cat, w3bd, b3cat, omcat, oscat,
     )
     return up[:ncol], dn[:ncol], dn_dir[:ncol]

@@ -81,13 +81,16 @@ def main() -> None:
     ))
 
     real = {n: getattr(SWM, n) for n in (
-        "_mlp_tau", "_pifm_coeffs", "_phase_direct", "_phase_albedo",
+        "_mlp_tau2", "_pifm_coeffs", "_phase_direct", "_phase_albedo",
         "_phase_flux")}
 
-    def fake_mlp(ff, nf, w1, b1, w2, b2, w3, b3, omean, ostd, col_dry):
-        # constant spectral tau, kills both nets
-        return jnp.broadcast_to(col_dry * jnp.float32(1e-3),
-                                (ff.shape[0], omean.shape[1]))
+    def fake_mlp(ff, n2d, w1, b1, w2, b2, w3, b3, omean, ostd, col_dry,
+                 hc_rows):
+        # constant spectral tau, kills both (merged) nets
+        ngpt = omean.shape[1] // 2
+        t = jnp.broadcast_to(col_dry * jnp.float32(1e-3),
+                             (ff.shape[0], ngpt))
+        return t, t
 
     def fake_pifm(tau, ssa, g, mu0b, k_min, eps, general_g):
         # no exp/sqrt/div: four cheap products with the right shapes
@@ -124,7 +127,7 @@ def main() -> None:
     variants = []
     for name, patches in [
         ("full", {}),
-        ("no-mlp", {"_mlp_tau": fake_mlp}),
+        ("no-mlp", {"_mlp_tau2": fake_mlp}),
         ("no-pifm", {"_pifm_coeffs": fake_pifm}),
         ("no-direct", {"_phase_direct": fake_direct}),
         ("no-albedo", {"_phase_albedo": fake_albedo}),
@@ -132,7 +135,7 @@ def main() -> None:
         ("no-sweeps", {"_phase_direct": fake_direct,
                        "_phase_albedo": fake_albedo,
                        "_phase_flux": fake_flux}),
-        ("bare", {"_mlp_tau": fake_mlp, "_pifm_coeffs": fake_pifm,
+        ("bare", {"_mlp_tau2": fake_mlp, "_pifm_coeffs": fake_pifm,
                   "_phase_direct": fake_direct,
                   "_phase_albedo": fake_albedo, "_phase_flux": fake_flux}),
     ]:

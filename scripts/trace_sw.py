@@ -21,6 +21,8 @@ def main() -> None:
 
     from rte_rrtmgp_nn_tpu.drivers.rfmip import (
         _sw_core_mega,
+        _sw_core_mega_canon,
+        canonicalize_rfmip_inputs,
         resolve_solar_source,
     )
     from rte_rrtmgp_nn_tpu.drivers.rfmip_io import read_rfmip
@@ -57,19 +59,36 @@ def main() -> None:
     solar = jnp.asarray(resolve_solar_source(spec), jnp.float32)
     mu0 = np.cos(np.deg2rad(data.sza))
     usecol = data.sza < 90.0 - 0.5 * np.finfo(np.float32).eps
-    args = jax.device_put((
-        jnp.asarray(data.play, jnp.float32),
-        jnp.asarray(data.plev, jnp.float32),
-        jnp.asarray(data.tlay, jnp.float32),
-        jnp.asarray(data.sfc_alb, jnp.float32),
-        jnp.asarray(mu0, jnp.float32), jnp.asarray(usecol),
-        jnp.asarray(data.tsi, jnp.float32),
-        {k: jnp.asarray(v, jnp.float32)
-         for k, v in data.gas_concs.concs.items()},
-    ))
-    print(f"ncol = {ncol}  tile = {tile}", flush=True)
+    legacy = os.environ.get("TRACE_SW_LEGACY", "0") == "1"
+    if legacy:
+        # the pre-canonical core: flips/transposes in-jit
+        args = jax.device_put((
+            jnp.asarray(data.play, jnp.float32),
+            jnp.asarray(data.plev, jnp.float32),
+            jnp.asarray(data.tlay, jnp.float32),
+            jnp.asarray(data.sfc_alb, jnp.float32),
+            jnp.asarray(mu0, jnp.float32), jnp.asarray(usecol),
+            jnp.asarray(data.tsi, jnp.float32),
+            {k: jnp.asarray(v, jnp.float32)
+             for k, v in data.gas_concs.concs.items()},
+        ))
+        core = _sw_core_mega
+    else:
+        # production path: host-side canonicalization, zero in-jit layout
+        play_t, plev_t, tlay_t, _, concs_t = canonicalize_rfmip_inputs(data)
+        args = jax.device_put((
+            jnp.asarray(play_t, jnp.float32),
+            jnp.asarray(plev_t, jnp.float32),
+            jnp.asarray(tlay_t, jnp.float32),
+            jnp.asarray(data.sfc_alb, jnp.float32),
+            jnp.asarray(mu0, jnp.float32), jnp.asarray(usecol),
+            jnp.asarray(data.tsi, jnp.float32),
+            {k: jnp.asarray(v, jnp.float32) for k, v in concs_t.items()},
+        ))
+        core = _sw_core_mega_canon
+    print(f"ncol = {ncol}  tile = {tile}  legacy = {legacy}", flush=True)
     fn = jax.jit(functools.partial(
-        _sw_core_mega, models, spec, solar, top_at_1=data.top_at_1,
+        core, models, spec, solar, top_at_1=data.top_at_1,
         tile_c=tile))
     jax.block_until_ready(fn(*args))  # compile
     with jax.profiler.trace(outdir):
