@@ -36,6 +36,14 @@ from .allsky_io import read_garand
 from .rfmip import default_solar_source, resolve_solar_source
 from ..extensions.cloud_optics import CloudOptics, cloud_optics
 
+# Regime threshold for the all-sky LW megakernel: the staged lay-major core
+# wins below it, the fused kernel above (round-4 chip measurements,
+# scripts/bench_allsky.py --core {mega,staged}: LW 3.51 vs 3.16 ms at 1800
+# cols, 6.04 vs 7.03 at 3600, 10.53 vs 12.87 at 7200 -> linear crossover
+# ~2270 columns). All-sky SW and both clear-sky paths take the megakernel
+# in every regime (docs/PERFORMANCE.md).
+ALLSKY_LW_MEGA_MIN_NCOL = 2304
+
 
 def make_clouds(play, tlay, co: CloudOptics, cloud_col=None):
     """Idealized cloud fields (reference rrtmgp_allsky.F90:329-350).
@@ -375,6 +383,7 @@ def allsky_lw(
     emis = jnp.full((ncol, spectral.nband), 0.98, dtype)
 
     if (n_gauss_angles == 1 and scan_mode == "sequential"
+            and ncol >= ALLSKY_LW_MEGA_MIN_NCOL
             and resolve_use_megakernel(lw=True, models=models)
             and len(models) == 1 and dtype == jnp.float32):
         fields, concs_t = canonicalize_allsky_inputs(

@@ -83,8 +83,15 @@ def main() -> int:
     top_at_1 = bool(atm.play[0, 0] < atm.play[0, -1])
     sfc_lev = -1 if top_at_1 else 0
 
-    use_mega = (jax.default_backend() == "tpu" if args.core == "auto"
-                else args.core == "mega")
+    from rte_rrtmgp_nn_tpu.drivers.allsky import ALLSKY_LW_MEGA_MIN_NCOL
+
+    on_tpu = jax.default_backend() == "tpu"
+    # auto mirrors the driver dispatch: regime-aware LW (staged below the
+    # measured crossover), megakernel SW everywhere on TPU
+    use_mega_lw = (on_tpu and ncol >= ALLSKY_LW_MEGA_MIN_NCOL
+                   if args.core == "auto" else args.core == "mega")
+    use_mega_sw = on_tpu if args.core == "auto" else args.core == "mega"
+    use_mega = use_mega_lw or use_mega_sw
 
     tsfc = jnp.asarray(atm.tlev[:, sfc_lev], dtype)
     emis = jnp.full((ncol, lw_spec.nband), 0.98, dtype)
@@ -117,8 +124,21 @@ def main() -> int:
             jnp.asarray(atm.tlay, dtype), mu0,
             alb, alb, *cloud_args, concs,
         ))
-    lw_core = _allsky_lw_core_mega if use_mega else _allsky_lw_core_lay_major
-    sw_core = _allsky_sw_core_mega if use_mega else _allsky_sw_core_lay_major
+    if use_mega and not use_mega_lw:
+        # staged LW args in the regime-aware auto mode
+        concs_s = {k: jnp.asarray(v, dtype)
+                   for k, v in atm.gas_concs.concs.items()}
+        lw_args = jax.device_put((
+            jnp.asarray(atm.play, dtype), jnp.asarray(atm.plev, dtype),
+            jnp.asarray(atm.tlay, dtype), jnp.asarray(atm.tlev, dtype),
+            tsfc, emis,
+            *(jnp.asarray(a, dtype) for a in (lwp, iwp, rel, rei)),
+            concs_s,
+        ))
+    lw_core = (_allsky_lw_core_mega if use_mega_lw
+               else _allsky_lw_core_lay_major)
+    sw_core = (_allsky_sw_core_mega if use_mega_sw
+               else _allsky_sw_core_lay_major)
     lw_fn = jax.jit(functools.partial(
         lw_core, lw_models, table, lw_spec, co_lw, top_at_1=top_at_1))
     sw_fn = jax.jit(functools.partial(
@@ -145,7 +165,8 @@ def main() -> int:
         "value": round(ncol / (t_lw + t_sw), 1),
         "unit": "columns/s",
         "ncol": ncol,
-        "core": "mega" if use_mega else "staged",
+        "core": ("mega" if use_mega_lw else "staged") + "+" +
+                ("mega" if use_mega_sw else "staged"),
         "lw_ms": round(t_lw * 1e3, 3),
         "sw_ms": round(t_sw * 1e3, 3),
         "lw_mean_dn": round(float(np.mean(np.asarray(flw.flux_dn))), 3),

@@ -255,3 +255,55 @@ class TestSWGuards:
         # 1.46e-2 max abs error -- the inter-path delta is f32 noise
         np.testing.assert_allclose(np.asarray(out.flux_dn),
                                    np.asarray(ref.flux_dn), atol=3e-2)
+
+
+class TestAllskyLWRegime:
+    """Regime-aware all-sky LW dispatch (VERDICT r3 item 2): the staged
+    lay-major core wins below ALLSKY_LW_MEGA_MIN_NCOL on the chip (3.16 vs
+    3.51 ms at the reference's 1800-column workload), so the driver must
+    route small batches to it even when the megakernel flag is on."""
+
+    G = "/root/reference/examples/all-sky/garand-atmos-1.nc"
+    CLW = ("/root/reference/extensions/cloud_optics/"
+           "rrtmgp-cloud-optics-coeffs-lw.nc")
+
+    def _run(self, monkeypatch, ncol, threshold, forbid_mega):
+        import rte_rrtmgp_nn_tpu.drivers.allsky as allsky_mod
+
+        _need(LW_BOTH)
+        if not (os.path.exists(self.G) and os.path.exists(self.CLW)):
+            pytest.skip("all-sky data not available")
+        monkeypatch.setattr(allsky_mod, "ALLSKY_LW_MEGA_MIN_NCOL", threshold)
+        calls = []
+        for name, forbid in (("_allsky_lw_core_mega", forbid_mega),
+                             ("_allsky_lw_core_lay_major", not forbid_mega)):
+            orig = getattr(allsky_mod, name)
+
+            def wrapper(*a, _n=name, _f=forbid, _o=orig, **k):
+                calls.append(_n)
+                if _f:
+                    raise AssertionError(f"{_n} must not dispatch here")
+                return _o(*a, **k)
+
+            monkeypatch.setattr(allsky_mod, name, wrapper)
+        m = [load_model_netcdf(LW_BOTH)]
+        with config_override(use_megakernel=True):
+            fb = allsky_mod.allsky_lw(self.G, self.CLW, m, ncol=ncol)
+        return calls, fb
+
+    def test_below_threshold_takes_staged(self, monkeypatch):
+        calls, _ = self._run(monkeypatch, ncol=8, threshold=16,
+                             forbid_mega=True)
+        assert "_allsky_lw_core_lay_major" in calls
+
+    def test_at_threshold_takes_mega(self, monkeypatch):
+        calls, fb = self._run(monkeypatch, ncol=8, threshold=8,
+                              forbid_mega=False)
+        assert calls and calls[0] == "_allsky_lw_core_mega"
+
+    def test_default_threshold_value(self):
+        import rte_rrtmgp_nn_tpu.drivers.allsky as allsky_mod
+
+        # the measured-crossover constant (see the module comment); the
+        # reference 1800-col workload must sit BELOW it
+        assert 1800 < allsky_mod.ALLSKY_LW_MEGA_MIN_NCOL <= 3600
