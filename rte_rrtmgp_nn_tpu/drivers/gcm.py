@@ -88,8 +88,74 @@ def _unpack_columns(blk, widths: Sequence[int]) -> list:
     return out
 
 
-def _resident_reduce(step_fn, packed: np.ndarray, block_size: int,
-                     out_builder) -> tuple[list, float]:
+def _pack_columns_mixed(specs):
+    """Mixed-precision h2d packing (VERDICT r3 item 4): fuse column-leading
+    host arrays into TWO contiguous blocks -- an exact float32 block for
+    flux-critical lanes and a uint16 per-lane min-max quantized block for
+    the tolerant fields (temperatures, log-pressures, log-VMRs; all
+    min-max rescaled before the NN anyway). Halves the streamed wire
+    bytes/column on the ~45 MB/s tunnel (and any PCIe-bound host).
+
+    specs: list of (array, kind), kind in {'f32', 'lin', 'log'}.
+      'lin': q = round((v - mn) / step), step = (max-mn)/65535 per LANE
+             (a lane = one layer index of one field, so the min-max range
+             is tight across columns; T lanes quantize to ~0.002 K).
+      'log': same on ln(v) (strictly positive fields with dynamic range:
+             pressures, VMRs); dequant error is RELATIVE (~2e-4 for a
+             12-decade lane).
+    Returns (packed_f, packed_q, qmeta, layout): qmeta is (2, Kq) f32
+    [mn; step] rows, layout a tuple of (kind, width) in spec order for
+    ``_unpack_columns_mixed``.
+    """
+    fparts, qparts, mns, steps, layout = [], [], [], [], []
+    for a, kind in specs:
+        a2 = a[:, None] if a.ndim == 1 else a
+        layout.append((kind, a2.shape[1]))
+        if kind == "f32":
+            fparts.append(a2.astype(np.float32, copy=False))
+            continue
+        v = a2.astype(np.float64)
+        if kind == "log":
+            if not np.all(v > 0.0):
+                raise ValueError("'log' quantization requires positive values")
+            v = np.log(v)
+        mn = v.min(axis=0)
+        rng = v.max(axis=0) - mn
+        step = np.where(rng > 0, rng / 65535.0, 1.0)
+        q = np.rint((v - mn) / step)
+        qparts.append(np.clip(q, 0, 65535).astype(np.uint16))
+        mns.append(mn)
+        steps.append(step)
+    packed_f = (np.concatenate(fparts, axis=1) if fparts
+                else np.zeros((specs[0][0].shape[0], 0), np.float32))
+    packed_q = (np.concatenate(qparts, axis=1) if qparts
+                else np.zeros((specs[0][0].shape[0], 0), np.uint16))
+    qmeta = (np.stack([np.concatenate(mns), np.concatenate(steps)])
+             .astype(np.float32) if mns else np.zeros((2, 0), np.float32))
+    return packed_f, packed_q, qmeta, tuple(layout)
+
+
+def _unpack_columns_mixed(blk_f, blk_q, qmeta, layout):
+    """In-jit inverse of _pack_columns_mixed: ONE fused dequantization over
+    the whole uint16 block (mn + step * q, exp for 'log' lanes applied per
+    slice), then static lane slices in spec order."""
+    deq = qmeta[0] + qmeta[1] * blk_q.astype(jnp.float32)
+    out, of, oq = [], 0, 0
+    for kind, w in layout:
+        if kind == "f32":
+            sl = blk_f[:, of:of + w]
+            of += w
+        else:
+            sl = deq[:, oq:oq + w]
+            if kind == "log":
+                sl = jnp.exp(sl)
+            oq += w
+        out.append(sl[:, 0] if w == 1 else sl)
+    return out
+
+
+def _resident_reduce(step_fn, packed_list: Sequence[np.ndarray],
+                     block_size: int, out_builder) -> tuple[list, float]:
     """Device-RESIDENT block sweep: pre-stage every packed block in HBM,
     force the (lazy, on the tunnel) transfers to materialize, then time the
     pure dispatch->compute->fetch loop. This measures the >=1M-column
@@ -100,26 +166,40 @@ def _resident_reduce(step_fn, packed: np.ndarray, block_size: int,
 
     from ..parallel.streaming import iter_blocks
 
-    ncol = packed.shape[0]
+    ncol = packed_list[0].shape[0]
     outs = out_builder(ncol)
     blocks = list(iter_blocks(ncol, block_size))
     dev = []
     for start, size in blocks:
-        blk = packed[start:start + size]
-        if size < block_size:
-            blk = np.pad(blk, ((0, block_size - size), (0, 0)), mode="edge")
-        dev.append(jax.device_put(blk))
-    for d in dev:
-        float(jnp.sum(d))  # force the lazy tunnel transfer block by block
-    jax.block_until_ready(step_fn(dev[0]))  # compile + warm outside timer
+        blks = []
+        for packed in packed_list:
+            blk = packed[start:start + size]
+            if size < block_size:
+                blk = np.pad(blk, ((0, block_size - size), (0, 0)),
+                             mode="edge")
+            blks.append(jax.device_put(blk))
+        dev.append(blks)
+    for ds in dev:
+        for d in ds:
+            float(jnp.sum(d))  # force the lazy tunnel transfer per block
+    jax.block_until_ready(step_fn(*dev[0]))  # compile + warm outside timer
     t0 = time.perf_counter()
-    results = [step_fn(d) for d in dev]
+    results = [step_fn(*ds) for ds in dev]
     fetched = [np.asarray(r) for r in results]  # fetch = the only true sync
     elapsed = time.perf_counter() - t0
     for (start, size), r in zip(blocks, fetched):
         # step fns return ONE stacked (block, k) diagnostic array
         outs[0][start:start + size] = r[:size]
     return outs, elapsed
+
+
+def _gas_pack_kind(v: np.ndarray) -> str:
+    """Quantization kind for a gas lane set: log for strictly-positive 2-D
+    profiles (the dynamic-range fields), exact f32 for the (ncol,)
+    well-mixed scalars (already 1 lane) and anything with zeros."""
+    if v.ndim != 2:
+        return "f32"
+    return "log" if np.all(v > 0.0) else "lin"
 
 
 def _warmup_stream(step_fn, arrays, block_size: int) -> None:
@@ -147,10 +227,12 @@ def gcm_sweep_allsky(
     dtype=jnp.float32,
     warmup: bool = False,
     resident: bool = False,
+    precision: str = "f32",
 ) -> dict:
     """Full LW+SW ALL-SKY streamed sweep (the BASELINE.json capstone
     config): NN gas optics + idealized clouds (drivers.allsky.make_clouds
-    applied per block) -> LW no-scat + SW two-stream, broadband outputs."""
+    applied per block) -> LW no-scat + SW two-stream, broadband outputs.
+    precision='mixed' quantizes the tolerant h2d lanes (see gcm_sweep_lw)."""
     from .allsky import make_clouds
 
     lw_spec = lw_spectral_g128()
@@ -165,9 +247,8 @@ def gcm_sweep_allsky(
 
     use_mega = resolve_use_megakernel(lw=True, models=[*lw_models, *sw_models])
 
-    def step(blk, widths):
-        (play, plev, tlay, tlev, tsfc, emis, alb, mu0, cloud_col,
-         *gas_vals) = _unpack_columns(blk, widths)
+    def body(play, plev, tlay, tlev, tsfc, emis, alb, mu0, cloud_col,
+             gas_vals):
         # cloud placement on DEVICE from the global-index mask lane: the
         # four (ncol, nlay) cloud fields never cross the host link
         lwp, iwp, rel, rei = make_clouds(play, tlay, cloud_lw,
@@ -225,20 +306,53 @@ def gcm_sweep_allsky(
     ncol = host["play"].shape[0]
     mu0 = np.clip(np.cos(np.deg2rad(host["sza"])), 0.05, 1.0).astype(np.float32)
     cloud_col = (((np.arange(ncol) + 1) % 3) != 0).astype(np.float32)
-    packed, widths = _pack_columns(
-        [host["play"], host["plev"], host["tlay"], host["tlev"], host["tsfc"],
-         host["sfc_emis"], host["sfc_alb"], mu0, cloud_col]
-        + [host[f"gas:{g}"] for g in gas_names])
+    if precision == "mixed":
+        specs = ([(host["play"], "log"),
+                  (host["plev"][:, :1], "f32"),
+                  (np.diff(host["plev"], axis=1), "lin"),
+                  (host["tlay"], "lin"), (host["tlev"], "lin"),
+                  (host["tsfc"], "f32"), (host["sfc_emis"], "f32"),
+                  (host["sfc_alb"], "f32"), (mu0, "f32"),
+                  (cloud_col, "f32")]
+                 + [(host[f"gas:{g}"], _gas_pack_kind(host[f"gas:{g}"]))
+                    for g in gas_names])
+        packed_f, packed_q, qmeta, layout = _pack_columns_mixed(specs)
+        qm = jnp.asarray(qmeta)
 
-    step_fn = jax.jit(functools.partial(step, widths=tuple(widths)))
+        def step_mixed(blk_f, blk_q):
+            (play, p0, dplev, tlay, tlev, tsfc, emis, alb, mu0b, ccol,
+             *gas_vals) = _unpack_columns_mixed(blk_f, blk_q, qm, layout)
+            plev = jnp.concatenate(
+                [p0[:, None], p0[:, None] + jnp.cumsum(dplev, axis=1)],
+                axis=1)
+            return body(play, plev, tlay, tlev, tsfc, emis, alb, mu0b,
+                        ccol, gas_vals)
+
+        step_fn = jax.jit(step_mixed)
+        packed_list = [packed_f, packed_q]
+    else:
+        packed, widths = _pack_columns(
+            [host["play"], host["plev"], host["tlay"], host["tlev"],
+             host["tsfc"], host["sfc_emis"], host["sfc_alb"], mu0, cloud_col]
+            + [host[f"gas:{g}"] for g in gas_names])
+
+        def step(blk, widths):
+            (play, plev, tlay, tlev, tsfc, emis, alb, mu0b, ccol,
+             *gas_vals) = _unpack_columns(blk, widths)
+            return body(play, plev, tlay, tlev, tsfc, emis, alb, mu0b,
+                        ccol, gas_vals)
+
+        step_fn = jax.jit(functools.partial(step, widths=tuple(widths)))
+        packed_list = [packed]
     builder = lambda n: [np.zeros((n, 3), np.float32)]
     if resident:
-        outs, elapsed = _resident_reduce(step_fn, packed, block_size, builder)
+        outs, elapsed = _resident_reduce(step_fn, packed_list, block_size,
+                                         builder)
     else:
         if warmup:
-            _warmup_stream(step_fn, [packed], block_size)
+            _warmup_stream(step_fn, packed_list, block_size)
         t0 = time.perf_counter()
-        outs = stream_reduce(step_fn, [packed], block_size, builder)
+        outs = stream_reduce(step_fn, packed_list, block_size, builder)
         elapsed = time.perf_counter() - t0
     olr, lw_sfc_dn, sw_sfc_dn = outs[0].T
     return {
@@ -248,6 +362,7 @@ def gcm_sweep_allsky(
         "mean_olr": float(olr.mean()),
         "mean_lw_sfc_dn": float(lw_sfc_dn.mean()),
         "mean_sw_sfc_dn": float(sw_sfc_dn.mean()),
+        "diagnostics": outs[0],  # (ncol, 3) per-column [olr, lw_dn, sw_dn]
     }
 
 
@@ -260,8 +375,16 @@ def gcm_sweep_lw(
     dtype=jnp.float32,
     warmup: bool = False,
     resident: bool = False,
+    precision: str = "f32",
 ) -> dict:
-    """Streamed LW sweep; returns throughput stats + host flux summaries."""
+    """Streamed LW sweep; returns throughput stats + host flux summaries.
+
+    precision='mixed' halves the streamed wire bytes/column (1528 -> ~790)
+    by uint16-quantizing the tolerant lanes host-side (temperatures to
+    ~0.002 K, log-pressure / log-VMR lanes to ~2e-4 relative; plev rides
+    as an exact f32 anchor + quantized per-layer deltas, reconstructed by
+    cumsum on device so col_dry sees the quantized deltas directly).
+    Flux impact adjudicated vs f32 streaming in docs/PERFORMANCE.md."""
     spectral = lw_spectral_g128() if models[0].n_outputs in (256, 128) else None
     table = PlanckTable.compute(spectral.band_lims_wvn_array, dtype=dtype)
     gas_names = [k.split(":", 1)[1] for k in host if k.startswith("gas:")]
@@ -269,9 +392,7 @@ def gcm_sweep_lw(
 
     use_mega = resolve_use_megakernel(lw=True, models=models)
 
-    def step(blk, widths):
-        play, plev, tlay, tlev, tsfc, emis, *gas_vals = _unpack_columns(
-            blk, widths)
+    def body(play, plev, tlay, tlev, tsfc, emis, gas_vals):
         nlay = play.shape[1]
         concs = {
             g: (v if v.ndim == 2 else jnp.broadcast_to(v[:, None], (v.shape[0], nlay)))
@@ -295,11 +416,40 @@ def gcm_sweep_lw(
         # (ncol, 2) fetch, to minimize D2H traffic + per-fetch latency
         return jnp.stack([fb.flux_up[:, 0], fb.flux_dn[:, -1]], axis=1)
 
-    packed, widths = _pack_columns(
-        [host["play"], host["plev"], host["tlay"], host["tlev"],
-         host["tsfc"], host["sfc_emis"]]
-        + [host[f"gas:{g}"] for g in gas_names])
-    step_fn = jax.jit(functools.partial(step, widths=tuple(widths)))
+    if precision == "mixed":
+        specs = ([(host["play"], "log"),
+                  (host["plev"][:, :1], "f32"),
+                  (np.diff(host["plev"], axis=1), "lin"),
+                  (host["tlay"], "lin"), (host["tlev"], "lin"),
+                  (host["tsfc"], "f32"), (host["sfc_emis"], "f32")]
+                 + [(host[f"gas:{g}"], _gas_pack_kind(host[f"gas:{g}"]))
+                    for g in gas_names])
+        packed_f, packed_q, qmeta, layout = _pack_columns_mixed(specs)
+        qm = jnp.asarray(qmeta)
+
+        def step_mixed(blk_f, blk_q):
+            (play, p0, dplev, tlay, tlev, tsfc, emis,
+             *gas_vals) = _unpack_columns_mixed(blk_f, blk_q, qm, layout)
+            plev = jnp.concatenate(
+                [p0[:, None], p0[:, None] + jnp.cumsum(dplev, axis=1)],
+                axis=1)
+            return body(play, plev, tlay, tlev, tsfc, emis, gas_vals)
+
+        step_fn = jax.jit(step_mixed)
+        packed_list = [packed_f, packed_q]
+    else:
+        packed, widths = _pack_columns(
+            [host["play"], host["plev"], host["tlay"], host["tlev"],
+             host["tsfc"], host["sfc_emis"]]
+            + [host[f"gas:{g}"] for g in gas_names])
+
+        def step(blk, widths):
+            play, plev, tlay, tlev, tsfc, emis, *gas_vals = _unpack_columns(
+                blk, widths)
+            return body(play, plev, tlay, tlev, tsfc, emis, gas_vals)
+
+        step_fn = jax.jit(functools.partial(step, widths=tuple(widths)))
+        packed_list = [packed]
     ncol = host["play"].shape[0]
 
     builder = lambda n: [np.zeros((n, 2), np.float32)]
@@ -311,13 +461,14 @@ def gcm_sweep_lw(
             raise ValueError(
                 "resident=True ignores `mesh` (blocks are staged on the "
                 "default device); use the streamed path for mesh sweeps")
-        outs, elapsed = _resident_reduce(step_fn, packed, block_size, builder)
+        outs, elapsed = _resident_reduce(step_fn, packed_list, block_size,
+                                         builder)
     else:
         if warmup:
-            _warmup_stream(step_fn, [packed], block_size)
+            _warmup_stream(step_fn, packed_list, block_size)
         t0 = time.perf_counter()
         outs = stream_reduce(
-            step_fn, [packed], block_size, builder,
+            step_fn, packed_list, block_size, builder,
             sharding=None if mesh is None else column_sharding(mesh, 2),
         )
         elapsed = time.perf_counter() - t0
@@ -328,4 +479,5 @@ def gcm_sweep_lw(
         "columns_per_s": ncol / elapsed,
         "mean_olr": float(olr.mean()),
         "mean_sfc_dn": float(sfc_dn.mean()),
+        "diagnostics": outs[0],  # (ncol, 2) per-column [olr, sfc_dn]
     }

@@ -54,6 +54,9 @@ def main() -> int:
                     help="pre-stage every block in HBM and time the pure "
                          "compute loop (isolates the pipeline from the "
                          "~45 MB/s tunnel host link)")
+    ap.add_argument("--precision", choices=["f32", "mixed"], default="f32",
+                    help="'mixed' uint16-quantizes the tolerant h2d lanes "
+                         "(~2x fewer streamed bytes/column)")
     args = ap.parse_args()
 
     ensure_live_backend()
@@ -84,7 +87,7 @@ def main() -> int:
         stats = gcm_sweep_allsky(
             host, lw_models, sw_models, co_lw, co_sw,
             block_size=args.block, top_at_1=base.top_at_1, warmup=True,
-            resident=args.resident)
+            resident=args.resident, precision=args.precision)
         print(json.dumps({
             "metric": ("gcm_allsky_lw_sw_columns_per_s_per_chip_resident" if args.resident else "gcm_allsky_lw_sw_columns_per_s_per_chip"),
             "value": round(stats["columns_per_s"], 1),
@@ -95,12 +98,13 @@ def main() -> int:
             "mean_olr": round(stats["mean_olr"], 3),
             "mean_lw_sfc_dn": round(stats["mean_lw_sfc_dn"], 3),
             "mean_sw_sfc_dn": round(stats["mean_sw_sfc_dn"], 3),
+            "precision": args.precision,
             "backend": backend,
         }))
 
     stats = gcm_sweep_lw(
         host, lw_models, block_size=args.block, top_at_1=base.top_at_1,
-        warmup=True, resident=args.resident)
+        warmup=True, resident=args.resident, precision=args.precision)
     print(json.dumps({
         "metric": ("gcm_clearsky_lw_columns_per_s_per_chip_resident" if args.resident else "gcm_clearsky_lw_columns_per_s_per_chip"),
         "value": round(stats["columns_per_s"], 1),
@@ -110,6 +114,7 @@ def main() -> int:
         "elapsed_s": round(stats["elapsed_s"], 3),
         "mean_olr": round(stats["mean_olr"], 3),
         "mean_sfc_dn": round(stats["mean_sfc_dn"], 3),
+        "precision": args.precision,
         "backend": backend,
     }))
     return 0
