@@ -24,4 +24,5 @@ run allsky_28800       python scripts/bench_allsky.py --ncol 28800
 run allsky_1800_staged python scripts/bench_allsky.py --core staged
 run gcm_1m_resident    python scripts/bench_gcm.py --resident --lw-only
 run gcm_1m_streamed    python scripts/bench_gcm.py --lw-only
+run gcm_1m_streamed_mixed python scripts/bench_gcm.py --lw-only --precision mixed
 echo "done -> $OUT" >&2
