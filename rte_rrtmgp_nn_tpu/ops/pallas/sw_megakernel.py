@@ -91,15 +91,21 @@ def _pifm_coeffs(tau, ssa, g, mu0b, k_min, eps, general_g):
     e1 = jnp.exp(-tau * k)
     e2 = e1 * e1
     k2e = 2.0 * k * e1
-    rt_term = 1.0 / (k * (1.0 + e2) + gamma1 * (1.0 - e2))
-    rdif = rt_term * gamma2 * (1.0 - e2)
-    tdif = rt_term * k2e
     k_mu = k * mu0b
     k_mu2 = k_mu * k_mu
     k_g3 = k * gamma3
     k_g4 = k * gamma4
     denom = jnp.where(jnp.abs(1.0 - k_mu2) >= eps, 1.0 - k_mu2, eps)
-    rt2 = ssa * rt_term / denom
+    # ONE divide for both the diffuse normalization and the direct-beam
+    # prefactor: rt_term = denom * inv and rt2 = ssa * inv replace the
+    # two-divide form 1/rt_den and ssa*rt_term/denom (<=1 ulp regrouping;
+    # adjudicated vs f64 alongside the merged-GEMM change)
+    rt_den = k * (1.0 + e2) + gamma1 * (1.0 - e2)
+    inv = 1.0 / (rt_den * denom)
+    rt_term = denom * inv
+    rdif = rt_term * gamma2 * (1.0 - e2)
+    tdif = rt_term * k2e
+    rt2 = ssa * inv
     rdir = rt2 * (
         (1.0 - k_mu) * (alpha2 + k_g3)
         - (1.0 + k_mu) * (alpha2 - k_g3) * e2
