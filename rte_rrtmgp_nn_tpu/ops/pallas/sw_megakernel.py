@@ -166,11 +166,14 @@ def _phase_direct(nlay, tile_c, ngpt, unroll, sweep_stored,
 
 
 def _phase_albedo(nlay, unroll, alb_sfc, src_sfc, s_rdif, s_tdif, s_a, s_b,
-                  s_c):
+                  s_c, s_d):
     """Phase C: surface-to-top cumulative albedo/source, emitting the
     PRE-update carry: s_c[l] = alb_below, s_a[l] = src_below (s_c's
     tau/mu0 and s_a's src_up are each read for the last time in the same
-    iteration that overwrites them). Returns (alb_top, src_top)."""
+    iteration that overwrites them), and s_d[l] = 1/(1 - rdif*alb) so the
+    flux sweep reuses the EXACT divide instead of recomputing it (60
+    sequential divides off phase D's critical path; bit-identical
+    operands -> bit-identical d). Returns (alb_top, src_top)."""
     def up_acc_fn(i, carry):
         alb, src = carry
         l = nlay - 1 - i
@@ -179,6 +182,7 @@ def _phase_albedo(nlay, unroll, alb_sfc, src_sfc, s_rdif, s_tdif, s_a, s_b,
         alb_new = s_rdif[l] + s_tdif[l] * s_tdif[l] * alb * d
         s_c[l] = alb
         s_a[l] = src
+        s_d[l] = d
         return alb_new, src_new
 
     return jax.lax.fori_loop(0, nlay, up_acc_fn, (alb_sfc, src_sfc),
@@ -186,16 +190,18 @@ def _phase_albedo(nlay, unroll, alb_sfc, src_sfc, s_rdif, s_tdif, s_a, s_b,
 
 
 def _phase_flux(nlay, unroll, sweep_stored, inc_dif,
-                s_rdif, s_tdif, s_a, s_b, s_c, dn_acc, up_acc):
+                s_rdif, s_tdif, s_a, s_b, s_c, s_d, dn_acc, up_acc):
     """Phase D: top-down diffuse flux sweep with in-VMEM broadband
-    reduction (levels 1..nlay; level 0 is written by the caller)."""
+    reduction (levels 1..nlay; level 0 is written by the caller). The
+    per-step denominator reciprocal comes pre-stored from phase C (s_d),
+    leaving pure FMAs in the recurrence."""
     if sweep_stored:
         # the upward flux and both reductions are pure functions of the
         # stored downward flux -- hoist them out of the recurrence (s_b[l]
         # is dead after its read in iteration l, so it stores fdn_next)
         def down_flux_s(l, fdn):
-            d = 1.0 / (1.0 - s_rdif[l] * s_c[l])
-            fdn_next = (s_tdif[l] * fdn + s_rdif[l] * s_a[l] + s_b[l]) * d
+            fdn_next = ((s_tdif[l] * fdn + s_rdif[l] * s_a[l] + s_b[l])
+                        * s_d[l])
             s_b[l] = fdn_next
             return fdn_next
 
@@ -207,8 +213,7 @@ def _phase_flux(nlay, unroll, sweep_stored, inc_dif,
         return
 
     def down_flux(l, fdn):
-        d = 1.0 / (1.0 - s_rdif[l] * s_c[l])
-        fdn_next = (s_tdif[l] * fdn + s_rdif[l] * s_a[l] + s_b[l]) * d
+        fdn_next = (s_tdif[l] * fdn + s_rdif[l] * s_a[l] + s_b[l]) * s_d[l]
         fup = fdn_next * s_c[l] + s_a[l]
         dn_acc[pl.ds(l + 1, 1), :] = jnp.sum(fdn_next, axis=1)[None, :]
         up_acc[pl.ds(l + 1, 1), :] = jnp.sum(fup, axis=1)[None, :]
@@ -225,7 +230,8 @@ def _sw_mega_kernel(nlay, ngpt, nband, n2d, n_cld, lut, tile_c, k_min, eps,
                     w1_ref, w1c_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
                     om_ref, os_ref,
                     up_ref, dn_ref, dir_ref,
-                    s_rdif, s_tdif, s_a, s_b, s_c, dn_acc, up_acc, dir_acc):
+                    s_rdif, s_tdif, s_a, s_b, s_c, s_d,
+                    dn_acc, up_acc, dir_acc):
     f32 = jnp.float32
     rows = nlay * tile_c
 
@@ -328,7 +334,7 @@ def _sw_mega_kernel(nlay, ngpt, nband, n2d, n_cld, lut, tile_c, k_min, eps,
     alb_sfc = albdif_ref[:, :]
     src_sfc = dinc * albdir_ref[:, :]
     alb_top, src_top = _phase_albedo(
-        nlay, unroll, alb_sfc, src_sfc, s_rdif, s_tdif, s_a, s_b, s_c)
+        nlay, unroll, alb_sfc, src_sfc, s_rdif, s_tdif, s_a, s_b, s_c, s_d)
 
     inc_dif = incdif_ref[:, :]
     dn_acc[pl.ds(0, 1), :] = jnp.sum(inc_dif, axis=1)[None, :]
@@ -337,7 +343,7 @@ def _sw_mega_kernel(nlay, ngpt, nband, n2d, n_cld, lut, tile_c, k_min, eps,
 
     # ---- phase D: top-down diffuse flux sweep + broadband reduction ------
     _phase_flux(nlay, unroll, sweep_stored, inc_dif,
-                s_rdif, s_tdif, s_a, s_b, s_c, dn_acc, up_acc)
+                s_rdif, s_tdif, s_a, s_b, s_c, s_d, dn_acc, up_acc)
 
     dirs = dir_acc[:, :]
     up_ref[:, :] = jnp.transpose(up_acc[:, :], (1, 0))
@@ -550,12 +556,13 @@ def sw_clearsky_megakernel(
             pltpu.VMEM((nlay, tile_c, ngpt), f32),
             pltpu.VMEM((nlay, tile_c, ngpt), f32),
             pltpu.VMEM((nlay, tile_c, ngpt), f32),
+            pltpu.VMEM((nlay, tile_c, ngpt), f32),
             pltpu.VMEM((nlay + 1, tile_c), f32),
             pltpu.VMEM((nlay + 1, tile_c), f32),
             pltpu.VMEM((nlay + 1, tile_c), f32),
         ],
-        # five (nlay, tile, ngpt) scratch buffers scale with the tile and
-        # exceed the 16 MiB default Mosaic budget past tile 48; v5e has
+        # six (nlay, tile, ngpt) scratch buffers scale with the tile and
+        # exceed the 16 MiB default Mosaic budget past tile 32; v5e has
         # 128 MiB of VMEM per core
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

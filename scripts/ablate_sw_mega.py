@@ -102,11 +102,11 @@ def main() -> None:
         return inc_dir
 
     def fake_albedo(nlay, unroll, alb_sfc, src_sfc, s_rdif, s_tdif, s_a,
-                    s_b, s_c):
+                    s_b, s_c, s_d):
         return alb_sfc, src_sfc
 
     def fake_flux(nlay, unroll, sweep_stored, inc_dif,
-                  s_rdif, s_tdif, s_a, s_b, s_c, dn_acc, up_acc):
+                  s_rdif, s_tdif, s_a, s_b, s_c, s_d, dn_acc, up_acc):
         return None
 
     def timed():
