@@ -110,3 +110,53 @@ def test_sw_sweep_stored_bit_exact(rfmip_file):
         np.testing.assert_array_equal(
             np.asarray(getattr(got, name)), np.asarray(getattr(ref, name)),
             err_msg=name)
+
+
+def test_sw_lane_list_matches_3d_input(rfmip_file):
+    """The lane-list input form (production: per-lane scaled 2-D features
+    + const/perm, assembled by the stack+barrier+transpose fast path) is
+    BIT-identical to the 3-D pre-stacked back-compat form: the assembled
+    operand holds the same f32 values, only the XLA assembly schedule
+    differs (round-4 staging fix)."""
+    if not (os.path.exists(ABS) and os.path.exists(RAY)):
+        pytest.skip("SW models not available")
+    from rte_rrtmgp_nn_tpu.gas_concs import GasConcs
+    from rte_rrtmgp_nn_tpu.gasoptics.nn_gas_optics import (
+        compute_nn_inputs,
+        compute_nn_inputs_split,
+        get_col_dry_lay_major,
+    )
+    from rte_rrtmgp_nn_tpu.ops.pallas.sw_megakernel import (
+        sw_clearsky_megakernel,
+    )
+
+    dt = jnp.float32
+    data = read_rfmip(rfmip_file)
+    models = [load_model_netcdf(ABS), load_model_netcdf(RAY)]
+    spec = sw_spectral_g112()
+    n = 16
+    nlay = data.play.shape[1]
+    concs_t = {k: jnp.asarray(v[:n].T if np.ndim(v) == 2 else v, dt)
+               for k, v in data.gas_concs.concs.items()}
+    gd = GasConcs(concs_t)
+    play_t = jnp.asarray(data.play[:n].T, dt)
+    plev_t = jnp.asarray(data.plev[:n].T, dt)
+    tlay_t = jnp.asarray(data.tlay[:n].T, dt)
+    col_dry = get_col_dry_lay_major(gd.get_vmr("h2o", nlay, n), plev_t)
+    mu0 = jnp.asarray(np.clip(np.cos(np.deg2rad(data.sza[:n])), 0.1, 1.0), dt)
+    ngpt = spec.ngpt
+    inc = jnp.broadcast_to(jnp.linspace(1.0, 2.0, ngpt, dtype=dt)[None, :],
+                           (n, ngpt)) * mu0[:, None]
+    alb = jnp.full((n, ngpt), 0.1, dt)
+
+    x3d = compute_nn_inputs(play_t, tlay_t, gd, models[0])
+    x2d, cf, perm = compute_nn_inputs_split(
+        play_t, tlay_t, gd, models[0], (), lay_major=True)
+    a = sw_clearsky_megakernel(models[0], models[1], x3d, col_dry, mu0,
+                               inc, alb, alb, tile_c=8)
+    b = sw_clearsky_megakernel(models[0], models[1], x2d, col_dry, mu0,
+                               inc, alb, alb, tile_c=8,
+                               const_feats=cf, perm=perm)
+    for name, u, v in zip(("up", "dn", "dir"), a, b):
+        np.testing.assert_array_equal(np.asarray(u), np.asarray(v),
+                                      err_msg=name)
