@@ -36,13 +36,16 @@ from .allsky_io import read_garand
 from .rfmip import default_solar_source, resolve_solar_source
 from ..extensions.cloud_optics import CloudOptics, cloud_optics
 
-# Regime threshold for the all-sky LW megakernel: the staged lay-major core
-# wins below it, the fused kernel above (round-4 chip measurements,
-# scripts/bench_allsky.py --core {mega,staged}: LW 3.51 vs 3.16 ms at 1800
-# cols, 6.04 vs 7.03 at 3600, 10.53 vs 12.87 at 7200 -> linear crossover
-# ~2270 columns). All-sky SW and both clear-sky paths take the megakernel
-# in every regime (docs/PERFORMANCE.md).
-ALLSKY_LW_MEGA_MIN_NCOL = 2304
+# Regime threshold for the all-sky LW megakernel (ncol below it takes the
+# staged core even when megakernels are on). Round-4 history: the staged
+# core won below ~2270 columns (3.16 vs 3.51 ms at 1800) UNTIL the trace
+# showed that loss was XLA mis-scheduling the 26-lane fused input into
+# per-lane tile-padded relayouts + a 13.3 ms concat; with the explicit
+# stack assembly (lw_clearsky_mega4 assembly="stack") the megakernel wins
+# every regime (2.03 vs 3.16 ms at 1800; 13.1 vs ~26 ms LW at 28.8k), so
+# the threshold is 0. The plumbing + tests stay: if a future kernel
+# change resurrects a small-batch staged win, measure and raise it.
+ALLSKY_LW_MEGA_MIN_NCOL = 0
 
 
 def make_clouds(play, tlay, co: CloudOptics, cloud_col=None):
@@ -282,11 +285,14 @@ def _allsky_lw_core_mega(
     emis = spectral.expand(emis_band)
     if cloud_co.is_lut:
         # LUT cloud optics runs fully IN-KERNEL: 4 physical lanes instead
-        # of nband tau lanes, no XLA cloud stage at all
+        # of nband tau lanes, no XLA cloud stage at all. assembly="stack":
+        # XLA mis-schedules this 26-lane fused input into per-lane
+        # tile-padded relayouts + a 13.3 ms concat (round-4 trace, 28.8k
+        # cols; 35.9 -> ~13 ms with the explicit stack assembly).
         from ..ops.pallas.lw_megakernel import cloud_lut_pack
 
         cld_kw = dict(cld_fields=(lwp_t, iwp_t, rel_t, rei_t),
-                      cld_lut=cloud_lut_pack(cloud_co))
+                      cld_lut=cloud_lut_pack(cloud_co), assembly="stack")
     else:  # Pade coefficients: band tau computed in XLA, folded in-kernel
         cld = cloud_optics(cloud_co, lwp_t, iwp_t, rel_t, rei_t,
                            as_2str=False)

@@ -540,6 +540,12 @@ def lw_clearsky_mega4(
                         #   cloud-optics LUT path (needs cld_lut)
     cld_lut=None,       # cloud_lut_pack(co) result for cld_fields
     sweep_stored: bool = False,  # hoist broadband sums out of the sweeps
+    assembly: str = "concat",   # fused-input assembly: "concat" (XLA
+                                #   DUS-concat; clear-sky measured best) or
+                                #   "stack" (lane-major stack + barrier +
+                                #   one transpose copy; the all-sky LUT
+                                #   driver measured XLA mis-scheduling the
+                                #   26-lane concat into per-lane relayouts)
 ):
     """Fully fused LW clear-sky pipeline, v4: thin-lane inputs, everything
     else in-kernel. Over mega3 it moves the Planck-table interpolation
@@ -590,15 +596,17 @@ def lw_clearsky_mega4(
                              axis=1)
     ntab = tp_cat.shape[0]
 
+    lanes2d = None
     if isinstance(x2d, (list, tuple)):
         n2d = len(x2d)
         nlay, ncol = x2d[0].shape
-        parts = [
-            *(l.astype(f32)[..., None] for l in x2d),
-            col_dry.astype(f32)[..., None],
-            tlay.astype(f32)[..., None],
-            tlev[:-1].astype(f32)[..., None],
+        lanes2d = [
+            *(l.astype(f32) for l in x2d),
+            col_dry.astype(f32),
+            tlay.astype(f32),
+            tlev[:-1].astype(f32),
         ]
+        parts = [l[..., None] for l in lanes2d]
     else:
         nlay, ncol, n2d = x2d.shape
         parts = [
@@ -614,16 +622,31 @@ def lw_clearsky_mega4(
             raise ValueError("cld_fields requires cld_lut (cloud_lut_pack)")
         liq3, ice3, geom = cld_lut
         parts += [c.astype(f32)[..., None] for c in cld_fields]
+        if lanes2d is not None:
+            lanes2d += [c.astype(f32) for c in cld_fields]
         lut_static = (liq3[0].shape[0], ice3[0].shape[0], *geom)
     elif cld_tau_band is not None:
         n_cld = cld_tau_band.shape[-1]
         parts.append(cld_tau_band.astype(f32))
+        lanes2d = None  # 3-D cloud lanes: only the concat form applies
     if lut_static is None:
         z = jnp.zeros((1, 1), f32)
         liq3 = ice3 = (z, z, z)
-    # ONE concatenate: a second concat would materialize the whole fused
-    # block twice (0.6 ms of the LW all-sky staging at 1800 cols)
-    fused = jnp.concatenate(parts, axis=-1)
+    if assembly == "stack" and lanes2d is not None:
+        # ONE contiguous lane-major stack behind a barrier + ONE transpose
+        # copy into the operand layout (see sw_megakernel: stops XLA from
+        # splitting the assembly into per-lane tile-padded relayouts).
+        # Measured per path: LOSES for clear-sky LW (1.97 -> 2.41 ms at
+        # 1800, 20.1 -> 20.7 at 57.6k, where XLA's DUS-concat is already
+        # near-BW) but WINS for the 26-lane all-sky LUT core, where XLA
+        # emits 22 x 0.86 ms lane relayouts + a 13.3 ms padded concat
+        # (round-4 trace at 28.8k cols).
+        big = jax.lax.optimization_barrier(jnp.stack(lanes2d, axis=0))
+        fused = jnp.transpose(big, (1, 2, 0))
+    else:
+        # ONE concatenate: a second concat would materialize the whole
+        # fused block twice (0.6 ms of the LW all-sky staging at 1800 cols)
+        fused = jnp.concatenate(parts, axis=-1)
     nfu = fused.shape[-1]
     const_feats = const_feats.astype(f32)
     tsfc2 = tsfc.astype(f32)[:, None]

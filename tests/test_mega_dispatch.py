@@ -304,6 +304,7 @@ class TestAllskyLWRegime:
     def test_default_threshold_value(self):
         import rte_rrtmgp_nn_tpu.drivers.allsky as allsky_mod
 
-        # the measured-crossover constant (see the module comment); the
-        # reference 1800-col workload must sit BELOW it
-        assert 1800 < allsky_mod.ALLSKY_LW_MEGA_MIN_NCOL <= 3600
+        # after the round-4 stack-assembly fix the megakernel wins every
+        # regime (2.03 vs 3.16 ms at 1800), so the measured threshold is 0
+        # (see the module comment; raise only with a fresh measurement)
+        assert allsky_mod.ALLSKY_LW_MEGA_MIN_NCOL == 0
