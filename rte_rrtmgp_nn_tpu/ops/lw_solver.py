@@ -487,6 +487,7 @@ def _lw_solver_noscat_1angle(
     if broadband and not do_rescaling and not config.use_pade_source:
         if (
             config.use_pallas_lw_solver
+            and not config.fast_exponential  # kernel hardcodes exact exp
             and sfc_source_jac is None
             and tau.dtype == jnp.float32
         ):
@@ -554,8 +555,17 @@ def _lw_solver_noscat_1angle(
         # Jacobian propagates with transmission only: cumulative product of
         # trans from the surface upward == exp(-reverse-cumsum(tau_loc)).
         jac_sfc = sfc_emis * sfc_source_jac
-        # lax.cumsum(reverse=True): suffix sum without materialized flips
-        prod_up = jnp.exp(-jax.lax.cumsum(tau_loc, axis=1, reverse=True))
+        if config.fast_exponential and not do_rescaling:
+            # exp_fast(a)*exp_fast(b) != exp_fast(a+b): the Jacobian must
+            # ride the SAME per-layer Pade transmittances as the fluxes
+            # (reference propagates it through the trans recurrence,
+            # mo_rte_lw.F90 Jacobian branch)
+            prod_up = jnp.flip(jnp.cumprod(jnp.flip(trans, 1), axis=1), 1)
+        else:
+            # suffix sum without materialized flips; in exact-exp mode
+            # exp(-cumsum) is the mathematically-equal, lower-error form
+            # of the per-layer trans product (see the SW direct beam note)
+            prod_up = jnp.exp(-jax.lax.cumsum(tau_loc, axis=1, reverse=True))
         flux_up_jac = jnp.concatenate(
             [prod_up * jac_sfc[:, None, :], jac_sfc[:, None, :]], axis=1
         ) * two_pi_w

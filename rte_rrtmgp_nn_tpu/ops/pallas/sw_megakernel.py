@@ -445,17 +445,27 @@ def sw_clearsky_megakernel(
     if lut_static is None:
         z = jnp.zeros((1, 1), f32)
         liq3 = ice3 = (z, z, z)
-    if lanes2d is not None and cld_bands is None:
-        # All parts are 2-D lanes: assemble the fused operand as ONE
-        # contiguous lane-major stack (perfectly tiled writes) followed by
-        # ONE transpose copy into the kernel's lane-minor layout. Left to
-        # itself XLA relayouts every (nlay, ncol, 1) lane separately and
-        # concatenates in the tile-padded domain (8 x 2.65 ms copies +
-        # 22 ms concat at 57.6k cols, round-4 trace); the barrier pins the
-        # cheap stack | single copy schedule.
-        parts2d = lanes2d + [p[..., 0] for p in parts[len(lanes2d):]]
+    if lanes2d is not None:
+        # Assemble the 2-D lanes as ONE contiguous lane-major stack
+        # (perfectly tiled writes) followed by ONE transpose copy into the
+        # kernel's lane-minor layout. Left to itself XLA relayouts every
+        # (nlay, ncol, 1) lane separately and concatenates in the
+        # tile-padded domain (8 x 2.65 ms copies + 22 ms concat at 57.6k
+        # cols, round-4 trace); the barrier pins the cheap
+        # stack | single copy schedule. With 3-D cld_bands present the
+        # stacked lanes join them in a few-part wide concat (the
+        # pathology is many NARROW parts, not concat itself).
+        # every width-1 trailing part (col_dry, cld_fields) rides the
+        # stack; only the wide 3-D cld_bands stay as concat parts. Trailing
+        # width-1 parts always precede cld_bands in `parts`, so the fused
+        # lane order is unchanged.
+        parts2d = lanes2d + [p[..., 0] for p in parts[len(lanes2d):]
+                             if p.shape[-1] == 1]
+        rest = [p for p in parts[len(lanes2d):] if p.shape[-1] != 1]
         big = jax.lax.optimization_barrier(jnp.stack(parts2d, axis=0))
-        fused = jnp.transpose(big, (1, 2, 0))
+        stacked = jnp.transpose(big, (1, 2, 0))
+        fused = (jnp.concatenate([stacked, *rest], axis=-1) if rest
+                 else stacked)
     else:
         fused = jnp.concatenate(parts, axis=-1)  # ONE concat (see lw mega4)
     nfu = fused.shape[-1]
@@ -487,6 +497,15 @@ def sw_clearsky_megakernel(
     # ---- merge the two nets into one block-diagonal GEMM chain ----------
     if tuple(abs_model.input_names) != tuple(ray_model.input_names):
         raise ValueError("SW megakernel requires matching abs/ray inputs")
+    if not (np.array_equal(np.asarray(abs_model.input_min),
+                           np.asarray(ray_model.input_min))
+            and np.array_equal(np.asarray(abs_model.input_max),
+                               np.asarray(ray_model.input_max))):
+        # the features are scaled ONCE with abs_model's coefficients; a
+        # ray net trained with different scaling would silently see
+        # wrongly-scaled inputs
+        raise ValueError("SW megakernel requires matching abs/ray input "
+                         "scaling (input_min/input_max differ)")
     if perm is None:
         perm = list(range(n2d))
         if nc > 1 or len(abs_model.input_names) != n2d:
