@@ -196,10 +196,19 @@ def _resident_reduce(step_fn, packed_list: Sequence[np.ndarray],
 def _gas_pack_kind(v: np.ndarray) -> str:
     """Quantization kind for a gas lane set: log for strictly-positive 2-D
     profiles (the dynamic-range fields), exact f32 for the (ncol,)
-    well-mixed scalars (already 1 lane) and anything with zeros."""
+    well-mixed scalars (already 1 lane), and linear for zero-containing
+    profiles -- UNLESS some lane (one layer across columns) mixes zeros
+    with values only a few quantization steps above zero, where the
+    absolute step (lane range / 65535) would put >~6% relative error on
+    the smallest nonzero VMRs; those fall back to exact f32."""
     if v.ndim != 2:
         return "f32"
-    return "log" if np.all(v > 0.0) else "lin"
+    if np.all(v > 0.0):
+        return "log"
+    step = (v.max(axis=0) - v.min(axis=0)) / 65535.0
+    nz_min = np.where(v > 0.0, v, np.inf).min(axis=0)
+    ok = (step == 0.0) | ~np.isfinite(nz_min) | (nz_min >= 8.0 * step)
+    return "lin" if bool(np.all(ok)) else "f32"
 
 
 def _warmup_stream(step_fn, arrays, block_size: int) -> None:

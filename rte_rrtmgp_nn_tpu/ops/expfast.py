@@ -9,8 +9,12 @@ LW no-scat transmittance (:237), the LW two-stream ``exp(-k*tau)``
 / ``exp(-k*tau)`` (:1293,1311,1405,1422). The Tang-rescaled LW branch
 deliberately uses the exact ``exp`` (:231) and so do we.
 
-``exp_maybe_fast`` reads ``config.fast_exponential`` at trace time (jit
-caches key on it via the front-ends), so flipping the flag retraces.
+``exp_maybe_fast`` reads ``config.fast_exponential`` at TRACE time. The
+package front-ends construct fresh jit wrappers per call, so flipping the
+flag there retraces; but a jitted function a USER holds onto (a cached
+driver core, a bench closure) will NOT retrace on a flag flip and keeps
+the numerics it was traced with -- flip the flag before building the
+jitted function, or rebuild it after.
 """
 from __future__ import annotations
 

@@ -506,6 +506,13 @@ def sw_clearsky_megakernel(
         # wrongly-scaled inputs
         raise ValueError("SW megakernel requires matching abs/ray input "
                          "scaling (input_min/input_max differ)")
+    if abs_model.weights[-1].shape[-1] != ray_model.weights[-1].shape[-1]:
+        # _mlp_tau2 slices the merged output at omean.shape[1]//2; unequal
+        # widths would silently mis-slice tau_abs/tau_ray
+        raise ValueError("SW megakernel requires equal abs/ray output "
+                         "widths (got %d vs %d)"
+                         % (abs_model.weights[-1].shape[-1],
+                            ray_model.weights[-1].shape[-1]))
     if perm is None:
         perm = list(range(n2d))
         if nc > 1 or len(abs_model.input_names) != n2d:

@@ -48,9 +48,11 @@ def direct_beam(tau, mu0, inc_flux_dir):
     if config.fast_exponential:
         # The reference applies exp_fast PER LAYER in the downward
         # recurrence (mo_rte_solver_kernels.F90:520-526); cumprod of the
-        # per-layer Pade transmittances reproduces those numerics exactly
-        # (exp_fast(a)*exp_fast(b) != exp_fast(a+b), so the closed form
-        # below would not).
+        # per-layer Pade transmittances reproduces those per-layer
+        # SEMANTICS (exp_fast(a)*exp_fast(b) != exp_fast(a+b), so the
+        # closed form below would not). XLA may lower cumprod as a
+        # log-depth associative scan, so the f32 product GROUPING can
+        # differ from the sequential recurrence at the ulp level.
         atten = jnp.cumprod(exp_fast(-tau * mu0_inv), axis=1)
     else:
         atten = jnp.exp(-jnp.cumsum(tau * mu0_inv, axis=1))
