@@ -47,6 +47,14 @@ from ..extensions.cloud_optics import CloudOptics, cloud_optics
 # change resurrects a small-batch staged win, measure and raise it.
 ALLSKY_LW_MEGA_MIN_NCOL = 0
 
+# Idealized cloud-placement thresholds (reference rrtmgp_allsky.F90:329-350).
+# Exported so the mixed-precision GCM packer can keep quantized play/tlay on
+# the same side of each hard branch (drivers/gcm._pack_columns_mixed).
+CLOUD_P_MIN = 100.0 * 100.0   # Pa
+CLOUD_P_MAX = 900.0 * 100.0   # Pa
+CLOUD_T_LIQ = 263.0           # K: liquid where tlay > this
+CLOUD_T_ICE = 273.0           # K: ice where tlay < this
+
 
 def make_clouds(play, tlay, co: CloudOptics, cloud_col=None):
     """Idealized cloud fields (reference rrtmgp_allsky.F90:329-350).
@@ -64,11 +72,11 @@ def make_clouds(play, tlay, co: CloudOptics, cloud_col=None):
         cloud_col = (cloud_col > 0.5)
         if cloud_col.ndim == 1:
             cloud_col = cloud_col[:, None]
-    cloud_mask = (play > 100.0 * 100.0) & (play < 900.0 * 100.0) & cloud_col
+    cloud_mask = (play > CLOUD_P_MIN) & (play < CLOUD_P_MAX) & cloud_col
     rel_val = 0.5 * (co.min_radius_liq + co.max_radius_liq)
     rei_val = 0.5 * (co.min_radius_ice + co.max_radius_ice)
-    lwp = xp.where(cloud_mask & (tlay > 263.0), 10.0, 0.0)
-    iwp = xp.where(cloud_mask & (tlay < 273.0), 10.0, 0.0)
+    lwp = xp.where(cloud_mask & (tlay > CLOUD_T_LIQ), 10.0, 0.0)
+    iwp = xp.where(cloud_mask & (tlay < CLOUD_T_ICE), 10.0, 0.0)
     rel = xp.where(lwp > 0.0, rel_val, 0.0)
     rei = xp.where(iwp > 0.0, rei_val, 0.0)
     return lwp, iwp, rel, rei
@@ -311,7 +319,10 @@ def _allsky_sw_core_mega(
     models, spectral, solar, cloud_co,
     play_t, plev_t, tlay_t, mu0, sfc_alb_dir, sfc_alb_dif,
     lwp_t, iwp_t, rel_t, rei_t, concs_t,
-    top_at_1, tile_c: int = 32,  # 48 exceeds VMEM with the cloud lanes
+    top_at_1, tile_c: int = 32,  # 32..64 a wash since the 100 MiB vmem
+                                 # raise (chip probe r5: 18.90/18.90/18.76
+                                 # ms at 28.8k; the old "48 OOMs" predated
+                                 # the limit raise)
 ):
     """All-sky SW through the fused megakernel: the three delta-scaled
     cloud 2-stream products ride 3*nband extra lanes and combine with the

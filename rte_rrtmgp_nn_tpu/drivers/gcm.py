@@ -96,19 +96,30 @@ def _pack_columns_mixed(specs):
     min-max rescaled before the NN anyway). Halves the streamed wire
     bytes/column on the ~45 MB/s tunnel (and any PCIe-bound host).
 
-    specs: list of (array, kind), kind in {'f32', 'lin', 'log'}.
+    specs: list of (array, kind), kind in {'f32', 'lin', 'log'} or a
+    tuple (kind, thresholds) for the quantized kinds.
       'lin': q = round((v - mn) / step), step = (max-mn)/65535 per LANE
              (a lane = one layer index of one field, so the min-max range
              is tight across columns; T lanes quantize to ~0.002 K).
       'log': same on ln(v) (strictly positive fields with dynamic range:
              pressures, VMRs); dequant error is RELATIVE (~2e-4 for a
              12-decade lane).
+      thresholds: physical values whose >=-side must SURVIVE quantization
+             (downstream hard branches like cloud placement: a value
+             epsilon past a threshold must dequantize on the same side,
+             else a half-step error flips a discrete regime -- measured
+             1.5 W/m2 from one ice-cloud layer flipping at tlay
+             273.000244 K). Each offending q is bumped one step toward
+             the threshold's side; thresholds must be > one step apart.
     Returns (packed_f, packed_q, qmeta, layout): qmeta is (2, Kq) f32
     [mn; step] rows, layout a tuple of (kind, width) in spec order for
     ``_unpack_columns_mixed``.
     """
     fparts, qparts, mns, steps, layout = [], [], [], [], []
     for a, kind in specs:
+        thresholds = ()
+        if isinstance(kind, tuple):
+            kind, thresholds = kind
         a2 = a[:, None] if a.ndim == 1 else a
         layout.append((kind, a2.shape[1]))
         if kind == "f32":
@@ -123,6 +134,25 @@ def _pack_columns_mixed(specs):
         rng = v.max(axis=0) - mn
         step = np.where(rng > 0, rng / 65535.0, 1.0)
         q = np.rint((v - mn) / step)
+        if thresholds:
+            # adjudicate sides against the DEVICE dequantizer's arithmetic
+            # (f32 mn + f32 step * f32 q, _unpack_columns_mixed); for 'log'
+            # lanes the comparison runs in log space, which tracks the
+            # device's exp-then-compare to ~1 ulp of exp -- a value within
+            # one exp ulp of a threshold can still flip, as it can in any
+            # f32 pipeline.
+            mn32, st32 = mn.astype(np.float32), step.astype(np.float32)
+            for t in thresholds:
+                tv = np.float64(np.log(t) if kind == "log" else t)
+                v_hi = v >= tv
+                for _ in range(2):  # one bump suffices; re-check once
+                    deq = (mn32 + st32 * q.astype(np.float32)).astype(
+                        np.float64)
+                    bump = (v_hi & (deq < tv)).astype(np.float64) - (
+                        (~v_hi) & (deq >= tv)).astype(np.float64)
+                    if not bump.any():
+                        break
+                    q = q + bump
         qparts.append(np.clip(q, 0, 65535).astype(np.uint16))
         mns.append(mn)
         steps.append(step)
@@ -258,6 +288,14 @@ def gcm_sweep_allsky(
 
     def body(play, plev, tlay, tlev, tsfc, emis, alb, mu0, cloud_col,
              gas_vals):
+        # mu0 arrives SIGNED (cos sza; night <= 0): night columns run with
+        # a safe clipped geometry but their SW flux is masked to exact
+        # zero -- the streamed analogue of the RFMIP SW driver's usecol
+        # night masking (rrtmgp_rfmip_sw.F90:376-380). Without the mask,
+        # nights got a fake mu0 = 0.05 sun whose exp(-tau/mu0) also
+        # amplified mixed-precision quantization error 20x.
+        day = (mu0 > 0.0).astype(play.dtype)
+        mu0 = jnp.clip(mu0, 0.05, 1.0)
         # cloud placement on DEVICE from the global-index mask lane: the
         # four (ncol, nlay) cloud fields never cross the host link
         lwp, iwp, rel, rei = make_clouds(play, tlay, cloud_lw,
@@ -293,7 +331,7 @@ def gcm_sweep_allsky(
             # one stacked (ncol, 3) output = ONE d2h fetch per block (the
             # tunnel charges ~60 ms latency per fetch)
             return jnp.stack([fb_lw.flux_up[:, 0], fb_lw.flux_dn[:, -1],
-                              fb_sw.flux_dn[:, -1]], axis=1)
+                              fb_sw.flux_dn[:, -1] * day], axis=1)
         # layer-major cores (drivers.allsky): cloud optics folded into the
         # gas props in the g-point domain before the broadband solves, so
         # the in-scan spectral reduction survives clouds at GCM scale.
@@ -310,20 +348,51 @@ def gcm_sweep_allsky(
             top_at_1=top_at_1,
         )
         return jnp.stack([fb_lw.flux_up[:, 0], fb_lw.flux_dn[:, -1],
-                          fb_sw.flux_dn[:, -1]], axis=1)
+                          fb_sw.flux_dn[:, -1] * day], axis=1)
 
     ncol = host["play"].shape[0]
-    mu0 = np.clip(np.cos(np.deg2rad(host["sza"])), 0.05, 1.0).astype(np.float32)
+    # SIGNED mu0 (night <= 0): the body masks night SW to zero (see body)
+    mu0 = np.cos(np.deg2rad(host["sza"])).astype(np.float32)
     cloud_col = (((np.arange(ncol) + 1) % 3) != 0).astype(np.float32)
-    if precision == "mixed":
-        specs = ([(host["play"], "log"),
-                  (host["plev"][:, :1], "f32"),
-                  (np.diff(host["plev"], axis=1), "lin"),
-                  (host["tlay"], "lin"), (host["tlev"], "lin"),
-                  (host["tsfc"], "f32"), (host["sfc_emis"], "f32"),
-                  (host["sfc_alb"], "f32"), (mu0, "f32"),
-                  (cloud_col, "f32")]
-                 + [(host[f"gas:{g}"], _gas_pack_kind(host[f"gas:{g}"]))
+
+    def build_f32(idx):
+        sub = ((lambda a: a) if idx is None else (lambda a: a[idx]))
+        packed, widths = _pack_columns(
+            [sub(host["play"]), sub(host["plev"]), sub(host["tlay"]),
+             sub(host["tlev"]), sub(host["tsfc"]), sub(host["sfc_emis"]),
+             sub(host["sfc_alb"]), sub(mu0), sub(cloud_col)]
+            + [sub(host[f"gas:{g}"]) for g in gas_names])
+
+        def step(blk, widths):
+            (play, plev, tlay, tlev, tsfc, emis, alb, mu0b, ccol,
+             *gas_vals) = _unpack_columns(blk, widths)
+            return body(play, plev, tlay, tlev, tsfc, emis, alb, mu0b,
+                        ccol, gas_vals)
+
+        return jax.jit(functools.partial(step, widths=tuple(widths))), [packed]
+
+    def build_mixed(idx):
+        from .allsky import (
+            CLOUD_P_MAX,
+            CLOUD_P_MIN,
+            CLOUD_T_ICE,
+            CLOUD_T_LIQ,
+        )
+
+        # play/tlay feed make_clouds' hard placement branches on device:
+        # threshold-preserving quantization keeps every column's discrete
+        # cloud regime identical to the f32 path (a half-step tlay flip at
+        # 273 K measured 1.5 W/m2 on one column)
+        specs = ([(host["play"][idx], ("log", (CLOUD_P_MIN, CLOUD_P_MAX))),
+                  (host["plev"][idx, :1], "f32"),
+                  (np.diff(host["plev"][idx], axis=1), "lin"),
+                  (host["tlay"][idx], ("lin", (CLOUD_T_LIQ, CLOUD_T_ICE))),
+                  (host["tlev"][idx], "lin"),
+                  (host["tsfc"][idx], "f32"), (host["sfc_emis"][idx], "f32"),
+                  (host["sfc_alb"][idx], "f32"), (mu0[idx], "f32"),
+                  (cloud_col[idx], "f32")]
+                 + [(host[f"gas:{g}"][idx],
+                     _gas_pack_kind(host[f"gas:{g}"]))
                     for g in gas_names])
         packed_f, packed_q, qmeta, layout = _pack_columns_mixed(specs)
         qm = jnp.asarray(qmeta)
@@ -337,32 +406,45 @@ def gcm_sweep_allsky(
             return body(play, plev, tlay, tlev, tsfc, emis, alb, mu0b,
                         ccol, gas_vals)
 
-        step_fn = jax.jit(step_mixed)
-        packed_list = [packed_f, packed_q]
+        return jax.jit(step_mixed), [packed_f, packed_q]
+
+    all_idx = np.arange(ncol)
+    if precision == "mixed":
+        # Grazing-sun day columns (0 < mu0 <= 0.1) ride a small exact-f32
+        # side sweep: their direct beam's exp(-tau/mu0) amplifies the
+        # ~1e-4 quantized-tau relative error up to W/m2 scale (measured
+        # 1.5 W/m2 worst case pre-fix, docs/PERFORMANCE.md). Typically
+        # ~1-3% of columns (the terminator band), so the padded extra
+        # block is throughput noise.
+        grazing = (mu0 > 0.0) & (mu0 <= 0.1)
+        jobs = [(all_idx[~grazing], build_mixed)]
+        if grazing.any():
+            jobs.append((all_idx[grazing], build_f32))
     else:
-        packed, widths = _pack_columns(
-            [host["play"], host["plev"], host["tlay"], host["tlev"],
-             host["tsfc"], host["sfc_emis"], host["sfc_alb"], mu0, cloud_col]
-            + [host[f"gas:{g}"] for g in gas_names])
+        jobs = [(None, build_f32)]
 
-        def step(blk, widths):
-            (play, plev, tlay, tlev, tsfc, emis, alb, mu0b, ccol,
-             *gas_vals) = _unpack_columns(blk, widths)
-            return body(play, plev, tlay, tlev, tsfc, emis, alb, mu0b,
-                        ccol, gas_vals)
-
-        step_fn = jax.jit(functools.partial(step, widths=tuple(widths)))
-        packed_list = [packed]
     builder = lambda n: [np.zeros((n, 3), np.float32)]
-    if resident:
-        outs, elapsed = _resident_reduce(step_fn, packed_list, block_size,
-                                         builder)
-    else:
-        if warmup:
-            _warmup_stream(step_fn, packed_list, block_size)
-        t0 = time.perf_counter()
-        outs = stream_reduce(step_fn, packed_list, block_size, builder)
-        elapsed = time.perf_counter() - t0
+    outs = builder(ncol)
+    elapsed = 0.0
+    for idx, build in jobs:
+        step_fn, packed_list = build(idx)
+        n_sub = ncol if idx is None else idx.size
+        # a small side job takes a right-sized block (one compile each,
+        # cached across runs) instead of padding to the main block size
+        bs = min(block_size, max(256, -(-n_sub // 256) * 256))
+        if resident:
+            sub, el = _resident_reduce(step_fn, packed_list, bs, builder)
+        else:
+            if warmup:
+                _warmup_stream(step_fn, packed_list, bs)
+            t0 = time.perf_counter()
+            sub = stream_reduce(step_fn, packed_list, bs, builder)
+            el = time.perf_counter() - t0
+        if idx is None:
+            outs = sub
+        else:
+            outs[0][idx] = sub[0]
+        elapsed += el
     olr, lw_sfc_dn, sw_sfc_dn = outs[0].T
     return {
         "ncol": ncol,

@@ -139,10 +139,17 @@ def load_model_netcdf(path: str, dtype=jnp.float32) -> NNModel:
     )
 
 
-def save_model_netcdf(path: str, model: NNModel, string_len: int = 32) -> None:
+def save_model_netcdf(path: str, model: NNModel, string_len: int = 32,
+                      attrs=None) -> None:
     """Write the reference model format (ml_load_save_preproc.py:21-171),
     as netCDF-3 classic so any netCDF reader (including the reference's
-    Fortran loader) can open it."""
+    Fortran loader) can open it.
+
+    attrs: optional mapping written as GLOBAL attributes (ignored by every
+    loader, incl. the reference Fortran one). The training loops record the
+    full 8-metric radiation-eval vector + final score here so the artifact
+    carries its own provenance (filenames alone proved ambiguous,
+    VERDICT r4 weak-6)."""
     nlayers = model.n_layers
     dims: dict[str, int] = {
         "nn_layers": nlayers,
@@ -185,4 +192,4 @@ def save_model_netcdf(path: str, model: NNModel, string_len: int = 32) -> None:
             ("nn_dim_outp",),
             np.asarray(model.output_std, np.float32),
         )
-    ncio.write_nc(path, dims, variables)
+    ncio.write_nc(path, dims, variables, attrs=attrs)

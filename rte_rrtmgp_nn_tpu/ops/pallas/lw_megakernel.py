@@ -50,6 +50,19 @@ def _softsign(x):
     return x / (1.0 + jnp.abs(x))
 
 
+def _source_fact(tl, trans, tau_thresh):
+    """The linear-in-tau source factor ``fact`` (reference
+    mo_rte_solver_kernels.F90:174-186): (1-T)/tau - T above the threshold,
+    the 2nd-order Taylor form below it. Split out so the ablation harness
+    can time the divide (scripts/ablate_lw_mega.py)."""
+    tl_safe = jnp.where(tl > tau_thresh, tl, 1.0)
+    return jnp.where(
+        tl > tau_thresh,
+        (1.0 - trans) / tl_safe - trans,
+        tl * (0.5 - (1.0 / 3.0) * tl),
+    )
+
+
 def _phase_a_sources(nlay, ngpt, nband, nf, tile_c, d_secant, tau_thresh,
                      fused_ref, pls_ref,
                      w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
@@ -82,12 +95,7 @@ def _phase_a_sources(nlay, ngpt, nband, nf, tile_c, d_secant, tau_thresh,
     pf = pf * pf
 
     trans = jnp.exp(-tl)
-    tl_safe = jnp.where(tl > tau_thresh, tl, 1.0)
-    fact = jnp.where(
-        tl > tau_thresh,
-        (1.0 - trans) / tl_safe - trans,
-        tl * (0.5 - (1.0 / 3.0) * tl),
-    )
+    fact = _source_fact(tl, trans, tau_thresh)
     oh = oh_ref[:, :]
     lay = pf * jnp.dot(ff[:, o_lay:o_top], oh, preferred_element_type=f32)
     lev_t = pf * jnp.dot(ff[:, o_top:o_bot], oh, preferred_element_type=f32)
@@ -413,12 +421,7 @@ def _mega4_kernel(nlay, ngpt, nband, n2d, nc, ntab, n_cld, lut, tile_c,
     pf = pf * pf
 
     trans = jnp.exp(-tl)
-    tl_safe = jnp.where(tl > tau_thresh, tl, 1.0)
-    fact = jnp.where(
-        tl > tau_thresh,
-        (1.0 - trans) / tl_safe - trans,
-        tl * (0.5 - (1.0 / 3.0) * tl),
-    )
+    fact = _source_fact(tl, trans, tau_thresh)
     # NOTE (measured dead end): stacking the interp sites along rows
     # (concat lay+lev temps -> one one-hot build + one matmul) CRASHES the
     # Mosaic compiler (remote tpu_compile_helper exit 1 after a minutes-
@@ -819,12 +822,7 @@ def _mega5_kernel(nlay, ngpt, nband, n2d, nc, ntab, tf_codes, tile_c,
     pf3 = (pf * pf).reshape(nlay, tile_c, ngpt)
 
     trans = jnp.exp(-tl)
-    tl_safe = jnp.where(tl > tau_thresh, tl, 1.0)
-    fact = jnp.where(
-        tl > tau_thresh,
-        (1.0 - trans) / tl_safe - trans,
-        tl * (0.5 - (1.0 / 3.0) * tl),
-    )
+    fact = _source_fact(tl, trans, tau_thresh)
 
     # ---- phase A2: Planck interpolation in 3-D (free collapses for dots) -
     def interp3(t_ref, n0):

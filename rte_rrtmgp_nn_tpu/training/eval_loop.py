@@ -82,6 +82,23 @@ def radiation_score(metrics: np.ndarray, ref_scores: np.ndarray) -> float:
     return float(np.sqrt(np.mean(r * r)))
 
 
+def provenance_attrs(result: "EarlyStopResult",
+                     ref_scores: np.ndarray) -> dict:
+    """Global netCDF attributes recording the full radiation-eval outcome
+    (metric vector + normalizers + score) so the artifact is
+    self-describing -- the score-encoded FILENAME alone proved ambiguous
+    (VERDICT r4 weak-6: a shipped pair's filename metrics were not
+    recoverable from its logged score)."""
+    m = np.asarray(result.history[result.best_epoch]["metrics"], np.float64)
+    return {
+        "radiation_score": float(result.best_score),
+        "radiation_metrics": m,
+        "radiation_metric_names": "; ".join(METRIC_NAMES),
+        "radiation_ref_scores": np.asarray(ref_scores, np.float64),
+        "best_epoch": np.int32(result.best_epoch),
+    }
+
+
 @dataclasses.dataclass
 class EarlyStopResult:
     best_model: NNModel
@@ -152,7 +169,8 @@ def train_with_radiation_eval(
             for m, r in zip(best.history[best.best_epoch]["metrics"][3:], ref_scores[3:])
         )
         path = save_path.format(hr=f"{hr_rel:.2e}", frc=f"{frc_rel:.2e}")
-        save_model_netcdf(path, best.best_model)
+        save_model_netcdf(path, best.best_model,
+                          attrs=provenance_attrs(best, ref_scores))
         if verbose:
             print(f"saved best model (epoch {best.best_epoch}) to {path}")
     return best

@@ -250,17 +250,21 @@ def main() -> int:
     m = result.history[result.best_epoch]["metrics"]
     print(f"vs LUT: HR MAE {m[0]:.4f} K/d, TOA bias {m[2]:.4f} W/m2")
 
-    # -- 5. save both models, score-encoded filenames --------------------
+    # -- 5. save both models, score-encoded filenames + the full metric
+    # vector as global attributes (self-describing artifacts) -------------
+    from rte_rrtmgp_nn_tpu.training.eval_loop import provenance_attrs
+
     hr_rel = m[0] / max(abs(ref_scores[0]), 1e-12)
     frc_rel = max(abs(v) / max(abs(r), 1e-12)
                   for v, r in zip(m[3:], ref_scores[3:]))
+    attrs = provenance_attrs(result, ref_scores)
     best_abs, best_ray = result.best_model
     for tag, mdl in (("absorption", best_abs), ("rayleigh", best_ray)):
         path = os.path.join(
             args.out_dir,
             f"sw-synth{ngpt}-lut_{tag}_{args.hidden}_{args.hidden}"
             f"_HR_{hr_rel:.2e}_FRC_{frc_rel:.2e}.nc")
-        save_model_netcdf(path, mdl)
+        save_model_netcdf(path, mdl, attrs=attrs)
         print(f"saved {tag} model to {path}")
     return 0 if result.best_score < 1.0 else 1
 

@@ -275,3 +275,44 @@ class TestMixedPrecisionPacking:
                          precision="mixed")
         d = np.abs(a["diagnostics"] - b["diagnostics"])
         assert d.max() < 0.02  # W/m2; measured 0.0025 at 3600 cols
+
+    def test_gcm_allsky_mixed_matches_f32_grazing(self, rfmip_file):
+        """All-sky mixed-precision parity INCLUDING grazing-sun columns:
+        day columns with 0 < mu0 <= 0.1 must ride the exact-f32 side sweep
+        (pre-fix, exp(-tau/mu0) amplified the quantized-tau error to 1.5
+        W/m2 there), and night columns must stream SW = 0 exactly."""
+        import os
+
+        from rte_rrtmgp_nn_tpu.drivers.gcm import (
+            gcm_sweep_allsky,
+            synthesize_gcm_columns,
+        )
+        from rte_rrtmgp_nn_tpu.drivers.rfmip_io import read_rfmip
+        from rte_rrtmgp_nn_tpu.extensions.cloud_optics import load_cloud_optics
+        from rte_rrtmgp_nn_tpu.models.network import load_model_netcdf
+
+        D = "/root/reference/neural/data/"
+        clw_p = ("/root/reference/extensions/cloud_optics/"
+                 "rrtmgp-cloud-optics-coeffs-lw.nc")
+        if not (os.path.exists(D + "lw-g128-210809_both_BEST.nc")
+                and os.path.exists(clw_p)):
+            pytest.skip("reference data not available")
+        base = read_rfmip(rfmip_file)
+        host = synthesize_gcm_columns(base, 192)
+        # force a terminator band: grazing day suns in cloudy + clear cols
+        host["sza"][10:20] = np.linspace(84.5, 89.9, 10)
+        lw = [load_model_netcdf(D + "lw-g128-210809_both_BEST.nc")]
+        sw = [load_model_netcdf(D + "sw-g112-210809_absorption_BEST.nc"),
+              load_model_netcdf(D + "sw-g112-210809_rayleigh_BEST.nc")]
+        clw = load_cloud_optics(clw_p)
+        csw = load_cloud_optics(clw_p.replace("-lw.nc", "-sw.nc"))
+        a = gcm_sweep_allsky(host, lw, sw, clw, csw, block_size=64,
+                             top_at_1=base.top_at_1)
+        b = gcm_sweep_allsky(host, lw, sw, clw, csw, block_size=64,
+                             top_at_1=base.top_at_1, precision="mixed")
+        d = np.abs(a["diagnostics"] - b["diagnostics"])
+        assert d.max() < 0.05  # W/m2, incl. the grazing band (VERDICT r4.5)
+        night = np.cos(np.deg2rad(host["sza"])) <= 0.0
+        assert night.any()
+        assert np.all(a["diagnostics"][night, 2] == 0.0)  # SW masked
+        assert np.all(b["diagnostics"][night, 2] == 0.0)
