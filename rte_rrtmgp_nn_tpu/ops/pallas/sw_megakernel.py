@@ -223,20 +223,33 @@ def _phase_flux(nlay, unroll, sweep_stored, inc_dif,
 
 
 def _sw_mega_kernel(nlay, ngpt, nband, n2d, n_cld, lut, tile_c, k_min, eps,
-                    unroll, sweep_stored,
-                    ff_ref, cf_ref, mu0_ref, incdir_ref, incdif_ref,
-                    albdir_ref, albdif_ref, oh_ref,
-                    cliq_hi, cliq_mid, cliq_lo, cice_hi, cice_mid, cice_lo,
-                    w1_ref, w1c_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-                    om_ref, os_ref,
-                    up_ref, dn_ref, dir_ref,
-                    s_rdif, s_tdif, s_a, s_b, s_c, s_d,
-                    dn_acc, up_acc, dir_acc):
+                    unroll, sweep_stored, n_lane_refs,
+                    *refs):
     f32 = jnp.float32
     rows = nlay * tile_c
 
     # ---- phase A: batched merged MLPs + PIFM two-stream coefficients -----
-    ff = ff_ref[:, :, :].reshape(rows, ff_ref.shape[-1])
+    if n_lane_refs:
+        # lanes-direct probe mode: each feature is its own well-tiled
+        # (nlay, tile) ref (no tile-padded fused-input DMA); the feature
+        # matrix is assembled IN VMEM -- the relayout under test
+        # (docs/PERFORMANCE.md mega5/mega6 measured this LOSING for LW)
+        lane_refs = refs[:n_lane_refs]
+        refs = refs[n_lane_refs:]
+        ff = jnp.stack([r[:, :] for r in lane_refs], axis=-1).reshape(
+            rows, n_lane_refs)
+    else:
+        ff_ref = refs[0]
+        refs = refs[1:]
+        ff = ff_ref[:, :, :].reshape(rows, ff_ref.shape[-1])
+    (cf_ref, mu0_ref, incdir_ref, incdif_ref,
+     albdir_ref, albdif_ref, oh_ref,
+     cliq_hi, cliq_mid, cliq_lo, cice_hi, cice_mid, cice_lo,
+     w1_ref, w1c_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+     om_ref, os_ref,
+     up_ref, dn_ref, dir_ref,
+     s_rdif, s_tdif, s_a, s_b, s_c, s_d,
+     dn_acc, up_acc, dir_acc) = refs
     cd = ff[:, n2d:n2d + 1]
     hc = jnp.dot(cf_ref[:, :], w1c_ref[:, :], preferred_element_type=f32)
     hc_rows = jnp.broadcast_to(
@@ -376,6 +389,11 @@ def sw_clearsky_megakernel(
     const_feats=None,  # (ncol, nc) SCALED constant-per-column features
     perm=None,         # lane order -> model input row map (see
                        #   compute_nn_inputs_split); identity if None
+    input_mode: str = "fused",  # "lanes": skip the fused-input assembly
+                       #   and pass each feature as its own well-tiled
+                       #   (nlay, ncol) ref, assembling the feature matrix
+                       #   IN VMEM (clear-sky only; chip probe for the
+                       #   8->128 tile-pad DMA question, VERDICT r4 item 2)
 ):
     """Fully fused SW pipeline: packed features in, broadband
     (ncol, nlay+1) (flux_up, flux_dn_total, flux_dn_dir) out, ONE Pallas
@@ -445,7 +463,18 @@ def sw_clearsky_megakernel(
     if lut_static is None:
         z = jnp.zeros((1, 1), f32)
         liq3 = ice3 = (z, z, z)
-    if lanes2d is not None:
+    lanes_direct = None
+    if input_mode == "lanes":
+        if lanes2d is None or cld_fields is not None or cld_bands is not None:
+            raise ValueError("input_mode='lanes' requires a clear-sky lane "
+                             "list input")
+        if not interpret and tile_c % 128:
+            # Mosaic requires 2-D block minor dims lane-aligned (mega5)
+            raise ValueError("input_mode='lanes' needs tile_c % 128 == 0 "
+                             f"on TPU (got {tile_c})")
+        lanes_direct = lanes2d + [col_dry.astype(f32)]
+        fused = None
+    elif lanes2d is not None:
         # Assemble the 2-D lanes as ONE contiguous lane-major stack
         # (perfectly tiled writes) followed by ONE transpose copy into the
         # kernel's lane-minor layout. Left to itself XLA relayouts every
@@ -468,7 +497,7 @@ def sw_clearsky_megakernel(
                  else stacked)
     else:
         fused = jnp.concatenate(parts, axis=-1)  # ONE concat (see lw mega4)
-    nfu = fused.shape[-1]
+    nfu = n2d + 1 if fused is None else fused.shape[-1]
     mu0c = mu0.astype(f32)[:, None]
     if inc_flux_dif is None:
         inc_flux_dif = jnp.zeros((ncol, ngpt), f32)
@@ -481,7 +510,11 @@ def sw_clearsky_megakernel(
     cpad = (-ncol) % tile_c
     if cpad:
         pad2 = lambda a: jnp.pad(a, ((0, cpad), (0, 0)))
-        fused = jnp.pad(fused, ((0, 0), (0, cpad), (0, 0)))
+        if fused is None:
+            lanes_direct = [jnp.pad(l, ((0, 0), (0, cpad)))
+                            for l in lanes_direct]
+        else:
+            fused = jnp.pad(fused, ((0, 0), (0, cpad), (0, 0)))
         # padded mu0 = 1 keeps 1/mu0 finite in the dead columns
         mu0c = jnp.pad(mu0c, ((0, cpad), (0, 0)), constant_values=1.0)
         inc_flux_dir = pad2(inc_flux_dir)
@@ -489,7 +522,7 @@ def sw_clearsky_megakernel(
         sfc_alb_dir = pad2(sfc_alb_dir)
         sfc_alb_dif = pad2(sfc_alb_dif)
         const_feats = pad2(const_feats)
-    n = fused.shape[1]
+    n = mu0c.shape[0]
     grid = (n // tile_c,)
 
     row2 = lambda a: jnp.asarray(a, f32).reshape(1, -1)
@@ -555,17 +588,26 @@ def sw_clearsky_megakernel(
     out_bs = pl.BlockSpec((tile_c, nlay + 1), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
 
+    if lanes_direct is not None:
+        n_lane_refs = len(lanes_direct)
+        lane_bs = [pl.BlockSpec((nlay, tile_c), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)] * n_lane_refs
+        ff_args = tuple(lanes_direct)
+    else:
+        n_lane_refs = 0
+        lane_bs = [pl.BlockSpec((nlay, tile_c, nfu), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)]
+        ff_args = (fused,)
     kernel = functools.partial(
         _sw_mega_kernel, nlay, ngpt, nband, n2d, n_cld, lut_static, tile_c,
         float(config.k_min), float(np.finfo(np.float32).eps), unroll,
-        sweep_stored,
+        sweep_stored, n_lane_refs,
     )
     up, dn, dn_dir = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((nlay, tile_c, nfu), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
+            *lane_bs,
             col2(nc), col2(1), col2(ngpt), col2(ngpt), col2(ngpt),
             col2(ngpt),
             rep(one_hot.shape),
@@ -594,7 +636,7 @@ def sw_clearsky_megakernel(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
-        fused, const_feats, mu0c, inc_flux_dir.astype(f32),
+        *ff_args, const_feats, mu0c, inc_flux_dir.astype(f32),
         inc_flux_dif.astype(f32),
         sfc_alb_dir.astype(f32), sfc_alb_dif.astype(f32), one_hot,
         *liq3, *ice3,

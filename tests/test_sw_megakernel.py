@@ -157,6 +157,15 @@ def test_sw_lane_list_matches_3d_input(rfmip_file):
     b = sw_clearsky_megakernel(models[0], models[1], x2d, col_dry, mu0,
                                inc, alb, alb, tile_c=8,
                                const_feats=cf, perm=perm)
-    for name, u, v in zip(("up", "dn", "dir"), a, b):
+    # lanes-direct (separate well-tiled refs, in-VMEM feature assembly):
+    # a measured chip REJECTION (docs/PERFORMANCE.md round 5) kept
+    # selectable; numerics must stay bit-identical
+    c = sw_clearsky_megakernel(models[0], models[1], x2d, col_dry, mu0,
+                               inc, alb, alb, tile_c=8,
+                               const_feats=cf, perm=perm,
+                               input_mode="lanes")
+    for name, u, v, w in zip(("up", "dn", "dir"), a, b, c):
         np.testing.assert_array_equal(np.asarray(u), np.asarray(v),
                                       err_msg=name)
+        np.testing.assert_array_equal(np.asarray(u), np.asarray(w),
+                                      err_msg=name + " (lanes)")
