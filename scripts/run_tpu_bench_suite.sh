@@ -10,12 +10,16 @@ export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jaxcache}
 run() {
   local label=$1; shift
   echo "=== $label: $*" >&2
+  # stamp the tunnel state (trivial-op round-trip latency) into the row so
+  # later readers can adjudicate throughput spreads (VERDICT r4 item 6)
+  local probe
+  probe=$(timeout 180 python scripts/tunnel_probe.py 2>/dev/null | tail -1)
   local t0=$SECONDS
   local line rc
   line=$(set -o pipefail; timeout "${STEP_TIMEOUT:-1200}" "$@" 2>/dev/null | tail -1)
   rc=$?
-  echo "{\"step\": \"$label\", \"rc\": $rc, \"wall_s\": $((SECONDS-t0)), \"result\": ${line:-null}}" >> "$OUT"
-  echo "$label rc=$rc ${line:0:160}" >&2
+  echo "{\"step\": \"$label\", \"rc\": $rc, \"wall_s\": $((SECONDS-t0)), \"tunnel\": ${probe:-null}, \"result\": ${line:-null}}" >> "$OUT"
+  echo "$label rc=$rc probe=${probe:-null} ${line:0:160}" >&2
 }
 
 run clearsky_1800      python bench.py
