@@ -100,6 +100,50 @@ def main() -> None:
         # general-g gamma/alpha extra VPU work
         return real_pifm(tau, ssa, None, mu0b, k_min, eps, general_g=False)
 
+    def pifm_fma(tau, ssa, g, mu0b, k_min, eps, general_g):
+        # CANDIDATE (correct numerics up to regrouping): gammas as fma
+        # chains on precomputed sg = ssa*g and mg = mu0*g instead of the
+        # reference's nested products -- times whether the general-g
+        # gamma algebra is worth restructuring
+        import jax.numpy as jnp
+        f32 = jnp.float32
+        jnp_ = jnp
+        sg = ssa * g
+        mg = mu0b * g
+        gamma1 = 2.0 - 1.25 * ssa - 0.75 * sg
+        gamma2 = 0.75 * (ssa - sg)
+        gamma3 = 0.5 - 0.75 * mg
+        gamma4 = 0.5 + 0.75 * mg
+        alpha1 = gamma1 * gamma4 + gamma2 * gamma3
+        alpha2 = gamma1 * gamma3 + gamma2 * gamma4
+        k = jnp_.sqrt(jnp_.maximum((gamma1 - gamma2) * (gamma1 + gamma2),
+                                   k_min))
+        mu0_inv = 1.0 / mu0b
+        tnoscat = jnp_.exp(-tau * mu0_inv)
+        e1 = jnp_.exp(-tau * k)
+        e2 = e1 * e1
+        k2e = 2.0 * k * e1
+        k_mu = k * mu0b
+        k_mu2 = k_mu * k_mu
+        k_g3 = k * gamma3
+        k_g4 = k * gamma4
+        denom = jnp_.where(jnp_.abs(1.0 - k_mu2) >= eps, 1.0 - k_mu2, eps)
+        rt_den = k * (1.0 + e2) + gamma1 * (1.0 - e2)
+        inv = 1.0 / (rt_den * denom)
+        rt_term = denom * inv
+        rdif = rt_term * gamma2 * (1.0 - e2)
+        tdif = rt_term * k2e
+        rt2 = ssa * inv
+        rdir = rt2 * ((1.0 - k_mu) * (alpha2 + k_g3)
+                      - (1.0 + k_mu) * (alpha2 - k_g3) * e2
+                      - k2e * (gamma3 - alpha2 * mu0b) * tnoscat)
+        tdir = rt2 * (k2e * (gamma4 + alpha1 * mu0b)
+                      - tnoscat * ((1.0 + k_mu) * (alpha1 + k_g4)
+                                   - (1.0 - k_mu) * (alpha1 - k_g4) * e2))
+        rdir = jnp_.clip(rdir, 0.0, 1.0 - tnoscat)
+        tdir = jnp_.clip(tdir, 0.0, 1.0 - tnoscat - rdir)
+        return rdif, tdif, rdir, tdir
+
     def timed():
         fn = jax.jit(functools.partial(
             _allsky_sw_core_mega, models, spec, solar, co,
@@ -121,6 +165,7 @@ def main() -> None:
         ("no-cloud-interp", fake_interp, real_combine, real_pifm),
         ("no-combine", real_interp, fake_combine, real_pifm),
         ("pifm-g0", real_interp, real_combine, pifm_g0),
+        ("pifm-fma", real_interp, real_combine, pifm_fma),
         ("bare-cloud", fake_interp, fake_combine, pifm_g0),
     ]:
         SWM._cloud_lut_interp = interp
