@@ -72,14 +72,18 @@ GASES = ("h2o", "co2", "o3", "n2o", "ch4")
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=60)
-    ap.add_argument("--hidden", type=int, default=64)
-    ap.add_argument("--steps-per-epoch", type=int, default=400)
-    ap.add_argument("--alpha", type=float, default=0.6)
+    # defaults = the recipe that reproduces the shipped score-0.314
+    # artifact (PARITY.md; alpha 0.6 / short runs converge to worse
+    # trade-offs -- the forcing-heavy alpha and long decay are both
+    # load-bearing)
+    ap.add_argument("--epochs", type=int, default=200)
+    ap.add_argument("--hidden", type=int, default=128)
+    ap.add_argument("--steps-per-epoch", type=int, default=800)
+    ap.add_argument("--alpha", type=float, default=0.85)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--batch-pairs", type=int, default=1024)
-    ap.add_argument("--patience", type=int, default=15)
-    ap.add_argument("--ema", type=float, default=None,
+    ap.add_argument("--patience", type=int, default=40)
+    ap.add_argument("--ema", type=float, default=0.999,
                     help="Polyak EMA decay for eval/save (e.g. 0.999)")
     ap.add_argument("--gpts-per-band", type=int, default=4)
     ap.add_argument("--nband", type=int, default=16)
