@@ -133,7 +133,7 @@ def _pack_columns_mixed(specs):
         mn = v.min(axis=0)
         rng = v.max(axis=0) - mn
         step = np.where(rng > 0, rng / 65535.0, 1.0)
-        q = np.rint((v - mn) / step)
+        q = np.clip(np.rint((v - mn) / step), 0, 65535)
         if thresholds:
             # adjudicate sides against the DEVICE dequantizer's arithmetic
             # (f32 mn + f32 step * f32 q, _unpack_columns_mixed); for 'log'
@@ -142,18 +142,37 @@ def _pack_columns_mixed(specs):
             # one exp ulp of a threshold can still flip, as it can in any
             # f32 pipeline.
             mn32, st32 = mn.astype(np.float32), step.astype(np.float32)
-            for t in thresholds:
-                tv = np.float64(np.log(t) if kind == "log" else t)
-                v_hi = v >= tv
-                for _ in range(2):  # one bump suffices; re-check once
-                    deq = (mn32 + st32 * q.astype(np.float32)).astype(
-                        np.float64)
-                    bump = (v_hi & (deq < tv)).astype(np.float64) - (
-                        (~v_hi) & (deq >= tv)).astype(np.float64)
-                    if not bump.any():
+            # the PARITY TARGET is the f32 baseline's side (the f32 path
+            # streams f32(raw); a raw value within half an f32 ulp of a
+            # threshold sits on the CAST's side there, not the f64 side)
+            vb = a2.astype(np.float32).astype(np.float64)
+            sides = [(vb >= float(t),
+                      np.float64(np.log(t) if kind == "log" else t))
+                     for t in thresholds]
+
+            def wrong_side(qq, v_hi, tv):
+                deq = (mn32 + st32 * qq.astype(np.float32)).astype(
+                    np.float64)
+                return v_hi != (deq >= tv)
+
+            for v_hi, tv in sides:
+                for _ in range(3):  # one bump suffices; re-check twice
+                    w = wrong_side(q, v_hi, tv)
+                    if not w.any():
                         break
-                    q = q + bump
-        qparts.append(np.clip(q, 0, 65535).astype(np.uint16))
+                    q = np.clip(
+                        q + np.where(w & v_hi, 1.0, 0.0)
+                        - np.where(w & ~v_hi, 1.0, 0.0), 0, 65535)
+            if any(wrong_side(q, v_hi, tv).any() for v_hi, tv in sides):
+                # a bump can be undone by the [0, 65535] clip (e.g. a lane
+                # whose f64 min rounds up to f32 exactly ON a threshold:
+                # the fix would need q = -1) or defeated by a sub-ulp step.
+                # No u16 code can represent the right side then -- keep the
+                # whole field EXACT instead of silently flipping a regime.
+                layout[-1] = ("f32", a2.shape[1])
+                fparts.append(a2.astype(np.float32, copy=False))
+                continue
+        qparts.append(q.astype(np.uint16))
         mns.append(mn)
         steps.append(step)
     packed_f = (np.concatenate(fparts, axis=1) if fparts
@@ -417,7 +436,9 @@ def gcm_sweep_allsky(
         # ~1-3% of columns (the terminator band), so the padded extra
         # block is throughput noise.
         grazing = (mu0 > 0.0) & (mu0 <= 0.1)
-        jobs = [(all_idx[~grazing], build_mixed)]
+        jobs = []
+        if (~grazing).any():  # all-grazing hosts run entirely f32
+            jobs.append((all_idx[~grazing], build_mixed))
         if grazing.any():
             jobs.append((all_idx[grazing], build_f32))
     else:

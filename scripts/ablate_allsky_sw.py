@@ -26,7 +26,6 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    import rte_rrtmgp_nn_tpu.ops.pallas.lw_megakernel as LWM
     import rte_rrtmgp_nn_tpu.ops.pallas.sw_megakernel as SWM
     from rte_rrtmgp_nn_tpu.drivers.allsky import (
         _allsky_sw_core_mega,
