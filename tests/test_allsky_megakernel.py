@@ -257,3 +257,56 @@ class TestPadeBandLanePath:
         np.testing.assert_allclose(
             np.asarray(got.flux_up), np.asarray(ref.flux_up),
             rtol=3e-6, atol=2e-2)
+
+
+class TestDeltaScaleSubtractionForm:
+    def test_cloud_combine_matches_classic_chain(self):
+        """_cloud_combine's subtraction-form delta_scale (round 5:
+        u = tsg^2/taussa; tau_b - u, taussa - u, tsg - u) must match the
+        classic 6-divide chain (optical_props.py delta_scale semantics)
+        computed in f64, across the physical range incl. cloud-free rows
+        (tsg = taussa = 0) and strongly forward-scattering clouds."""
+        from rte_rrtmgp_nn_tpu.ops.pallas.sw_megakernel import _cloud_combine
+
+        rng = np.random.default_rng(0)
+        n, nband = 257, 14
+        f32 = np.float32
+        tau_b = rng.uniform(0.0, 30.0, (n, nband))
+        ssa_b = rng.uniform(0.3, 0.9999, (n, nband))
+        g_b = rng.uniform(0.0, 0.9, (n, nband))
+        clear = rng.random((n, nband)) < 0.4
+        tau_b[clear] = 0.0
+        taussa = tau_b * ssa_b
+        tsg = taussa * g_b
+        tau_gas = rng.uniform(1e-4, 5.0, (n, nband))
+        ssa_gas = rng.uniform(0.0, 0.9, (n, nband))
+        oh = np.eye(nband, dtype=f32)  # identity band->gpt: pure algebra
+
+        eps = float(np.finfo(np.float32).eps)
+        got = _cloud_combine(*(jnp.asarray(a, f32) for a in
+                               (tau_b * 0.6, taussa * 0.6, tsg * 0.6,
+                                tau_b * 0.4, taussa * 0.4, tsg * 0.4)),
+                             jnp.asarray(tau_gas, f32),
+                             jnp.asarray(ssa_gas, f32),
+                             jnp.asarray(oh), eps)
+
+        # classic chain in f64 (the truth)
+        tb, ts, tg = tau_b, taussa, tsg
+        g64 = np.where(ts > 0, tg / np.maximum(eps, ts), 0.0)
+        s64 = np.where(tb > 0, ts / np.maximum(eps, tb), 0.0)
+        f = g64 * g64
+        wf = s64 * f
+        tau_d = tb * (1.0 - wf)
+        g_d = (g64 - f) / np.maximum(eps, 1.0 - f)
+        ssa_d = (s64 - wf) / np.maximum(eps, 1.0 - wf)
+        tsc_d = tau_d * ssa_d
+        tau = tau_gas + tau_d
+        tauscat = tau_gas * ssa_gas + tsc_d
+        g = (tsc_d * g_d) / np.maximum(eps, tauscat)
+        ssa = tauscat / np.maximum(eps, tau)
+
+        np.testing.assert_allclose(np.asarray(got[0]), tau, rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(got[1]), ssa,
+                                   rtol=3e-5, atol=3e-6)
+        np.testing.assert_allclose(np.asarray(got[2]), g,
+                                   rtol=5e-5, atol=3e-6)
