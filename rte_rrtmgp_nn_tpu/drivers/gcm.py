@@ -104,13 +104,18 @@ def _pack_columns_mixed(specs):
       'log': same on ln(v) (strictly positive fields with dynamic range:
              pressures, VMRs); dequant error is RELATIVE (~2e-4 for a
              12-decade lane).
-      thresholds: physical values whose >=-side must SURVIVE quantization
-             (downstream hard branches like cloud placement: a value
-             epsilon past a threshold must dequantize on the same side,
-             else a half-step error flips a discrete regime -- measured
-             1.5 W/m2 from one ice-cloud layer flipping at tlay
-             273.000244 K). Each offending q is bumped one step toward
-             the threshold's side; thresholds must be > one step apart.
+      thresholds: physical values whose comparison side must SURVIVE
+             quantization (downstream hard branches like cloud placement:
+             a value epsilon past a threshold must dequantize on the same
+             side, else a half-step error flips a discrete regime --
+             measured 1.5 W/m2 from one ice-cloud layer flipping at tlay
+             273.000244 K). Each entry is a value (adjudicated with >=,
+             which also preserves any strict-< branch since v < t is
+             not(v >= t)) or a (value, op) pair with op in {'>=', '>'}
+             -- pass '>' when the downstream branch is strict-> (v == t
+             exactly would otherwise be allowed to dequantize above t).
+             Each offending q is bumped one step toward the threshold's
+             side; thresholds must be > one step apart.
     Returns (packed_f, packed_q, qmeta, layout): qmeta is (2, Kq) f32
     [mn; step] rows, layout a tuple of (kind, width) in spec order for
     ``_unpack_columns_mixed``.
@@ -146,24 +151,31 @@ def _pack_columns_mixed(specs):
             # streams f32(raw); a raw value within half an f32 ulp of a
             # threshold sits on the CAST's side there, not the f64 side)
             vb = a2.astype(np.float32).astype(np.float64)
-            sides = [(vb >= float(t),
-                      np.float64(np.log(t) if kind == "log" else t))
-                     for t in thresholds]
+            sides = []
+            for t in thresholds:
+                op = ">="
+                if isinstance(t, tuple):
+                    t, op = t
+                strict = op == ">"
+                v_hi = (vb > float(t)) if strict else (vb >= float(t))
+                tv = np.float64(np.log(t) if kind == "log" else t)
+                sides.append((v_hi, tv, strict))
 
-            def wrong_side(qq, v_hi, tv):
+            def wrong_side(qq, v_hi, tv, strict):
                 deq = (mn32 + st32 * qq.astype(np.float32)).astype(
                     np.float64)
-                return v_hi != (deq >= tv)
+                return v_hi != ((deq > tv) if strict else (deq >= tv))
 
-            for v_hi, tv in sides:
+            for v_hi, tv, strict in sides:
                 for _ in range(3):  # one bump suffices; re-check twice
-                    w = wrong_side(q, v_hi, tv)
+                    w = wrong_side(q, v_hi, tv, strict)
                     if not w.any():
                         break
                     q = np.clip(
                         q + np.where(w & v_hi, 1.0, 0.0)
                         - np.where(w & ~v_hi, 1.0, 0.0), 0, 65535)
-            if any(wrong_side(q, v_hi, tv).any() for v_hi, tv in sides):
+            if any(wrong_side(q, v_hi, tv, strict).any()
+                   for v_hi, tv, strict in sides):
                 # a bump can be undone by the [0, 65535] clip (e.g. a lane
                 # whose f64 min rounds up to f32 exactly ON a threshold:
                 # the fix would need q = -1) or defeated by a sub-ulp step.
@@ -398,19 +410,24 @@ def gcm_sweep_allsky(
             CLOUD_T_LIQ,
         )
 
+        ix = slice(None) if idx is None else idx
         # play/tlay feed make_clouds' hard placement branches on device:
         # threshold-preserving quantization keeps every column's discrete
         # cloud regime identical to the f32 path (a half-step tlay flip at
-        # 273 K measured 1.5 W/m2 on one column)
-        specs = ([(host["play"][idx], ("log", (CLOUD_P_MIN, CLOUD_P_MAX))),
-                  (host["plev"][idx, :1], "f32"),
-                  (np.diff(host["plev"][idx], axis=1), "lin"),
-                  (host["tlay"][idx], ("lin", (CLOUD_T_LIQ, CLOUD_T_ICE))),
-                  (host["tlev"][idx], "lin"),
-                  (host["tsfc"][idx], "f32"), (host["sfc_emis"][idx], "f32"),
-                  (host["sfc_alb"][idx], "f32"), (mu0[idx], "f32"),
-                  (cloud_col[idx], "f32")]
-                 + [(host[f"gas:{g}"][idx],
+        # 273 K measured 1.5 W/m2 on one column). Ops mirror make_clouds:
+        # play > P_MIN and tlay > T_LIQ are strict, play < P_MAX and
+        # tlay < T_ICE are the complements of >=.
+        specs = ([(host["play"][ix],
+                   ("log", ((CLOUD_P_MIN, ">"), CLOUD_P_MAX))),
+                  (host["plev"][ix, :1], "f32"),
+                  (np.diff(host["plev"][ix], axis=1), "lin"),
+                  (host["tlay"][ix],
+                   ("lin", ((CLOUD_T_LIQ, ">"), CLOUD_T_ICE))),
+                  (host["tlev"][ix], "lin"),
+                  (host["tsfc"][ix], "f32"), (host["sfc_emis"][ix], "f32"),
+                  (host["sfc_alb"][ix], "f32"), (mu0[ix], "f32"),
+                  (cloud_col[ix], "f32")]
+                 + [(host[f"gas:{g}"][ix],
                      _gas_pack_kind(host[f"gas:{g}"]))
                     for g in gas_names])
         packed_f, packed_q, qmeta, layout = _pack_columns_mixed(specs)
@@ -437,9 +454,13 @@ def gcm_sweep_allsky(
         # block is throughput noise.
         grazing = (mu0 > 0.0) & (mu0 <= 0.1)
         jobs = []
-        if (~grazing).any():  # all-grazing hosts run entirely f32
-            jobs.append((all_idx[~grazing], build_mixed))
-        if grazing.any():
+        if not grazing.any():
+            # no grazing columns: skip the identity gather (a full-length
+            # fancy index would COPY every host array at GCM scale)
+            jobs = [(None, build_mixed)]
+        else:
+            if (~grazing).any():  # all-grazing hosts run entirely f32
+                jobs.append((all_idx[~grazing], build_mixed))
             jobs.append((all_idx[grazing], build_f32))
     else:
         jobs = [(None, build_f32)]

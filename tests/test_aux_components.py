@@ -252,6 +252,45 @@ class TestMixedPrecisionPacking:
         with pytest.raises(ValueError):
             _pack_columns_mixed([(np.zeros((4, 3), np.float32), "log")])
 
+    def test_strict_gt_threshold_preserved_on_equality(self):
+        """make_clouds' liquid branch is STRICT (tlay > 263.0), so a raw
+        value exactly ON the threshold must not dequantize above it, and a
+        dequant grid point landing exactly ON it must not demote a raw
+        value that was above (the two equality holes of a >=-only
+        adjudication)."""
+        import jax.numpy as jnp
+
+        from rte_rrtmgp_nn_tpu.drivers.gcm import (
+            _pack_columns_mixed,
+            _unpack_columns_mixed,
+        )
+
+        t = 263.0
+        # case A: exact-t values inside a lane whose grid does not hit t
+        lane_a = np.linspace(262.9, 263.1, 64).astype(np.float64)
+        lane_a[7] = t
+        lane_a[23] = t
+        # case B: lane min exactly t, so q=0 dequantizes exactly ON t --
+        # values epsilon above must be bumped off the grid point
+        lane_b = t + np.linspace(0.0, 0.05, 64) ** 2
+        lane_b[11] = t + 1e-4
+        arr = np.stack([lane_a, lane_b], axis=1)
+        pf, pq, qmeta, layout = _pack_columns_mixed(
+            [(arr, ("lin", ((t, ">"),)))])
+        deq = np.asarray(_unpack_columns_mixed(
+            jnp.asarray(pf), jnp.asarray(pq), jnp.asarray(qmeta),
+            layout)[0], np.float64)
+        raw32 = arr.astype(np.float32).astype(np.float64)
+        np.testing.assert_array_equal(deq > t, raw32 > t)
+        # the plain (>=) form still covers strict-< branches exactly:
+        # v < t  ==  not (v >= t)
+        pf, pq, qmeta, layout = _pack_columns_mixed(
+            [(arr, ("lin", (t,)))])
+        deq = np.asarray(_unpack_columns_mixed(
+            jnp.asarray(pf), jnp.asarray(pq), jnp.asarray(qmeta),
+            layout)[0], np.float64)
+        np.testing.assert_array_equal(deq < t, raw32 < t)
+
     def test_gcm_lw_mixed_matches_f32(self, rfmip_file):
         """Driver-level parity: the mixed-precision streamed sweep must
         reproduce the f32 sweep to well under the NN's ~0.1 W/m2 error."""
