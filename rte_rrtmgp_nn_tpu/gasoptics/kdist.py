@@ -269,14 +269,15 @@ def load_kdist(path: str, available_gases: list[str] | GasConcs, dtype=jnp.float
         minor_lower = _reduce_minor(f, "lower", gas_minor, identifier_minor, reduced, dtype)
         minor_upper = _reduce_minor(f, "upper", gas_minor, identifier_minor, reduced, dtype)
 
-        # key species -> reduced indices; (0,0) pairs -> (2,2) per reference
+        # key species -> reduced indices FIRST, then (0,0) -> (2,2): the
+        # reference rewrites AFTER create_key_species_reduce
+        # (mo_gas_optics_rrtmgp.F90:1509-1514,1764-1771), so (2,2) means
+        # the second gas of the REDUCED list, not of the file's gas list
         nbnd = key_species.shape[0]
         ks_red = np.zeros((nbnd, 2, 2), dtype=int)
         for ib in range(nbnd):
             for ia in range(2):
                 pair = key_species[ib, ia, :]
-                if np.all(pair == 0):
-                    pair = np.array([2, 2])
                 out = []
                 for v in pair:
                     if v == 0:
@@ -286,6 +287,8 @@ def load_kdist(path: str, available_gases: list[str] | GasConcs, dtype=jnp.float
                         if g not in reduced:
                             raise ValueError(f"key species {g} not in available gases")
                         out.append(1 + reduced.index(g))
+                if out == [0, 0]:
+                    out = [2, 2]
                 ks_red[ib, ia] = out
         # flavor list: unique (ig1, ig2) pairs in first-appearance order
         flavor: list[tuple[int, int]] = []

@@ -50,8 +50,14 @@ def generate_kdist_nc(
     nband: int | None = None,
     seed: int = 0,
     pfrac_uniform: bool = False,
+    key_pairs=None,
 ) -> None:
     """Write a synthetic k-distribution file (netCDF-3 classic).
+
+    key_pairs optionally overrides the per-band key-species pairs (list of
+    (lo, hi) 1-based gas indices, cycled over bands; (0, 0) = no key gas)
+    -- used by loader tests that need specific gases to be non-key so they
+    can be pruned.
 
     pfrac_uniform=True writes a (T, p, eta)-independent Planck fraction
     (1/gpts_per_band): use for oracle tests whose closed-form answer needs
@@ -77,14 +83,18 @@ def generate_kdist_nc(
     # only h2o/co2/o3 are key species; n2o/ch4 stay minor-only so pruning
     # them exercises the minor-reduction path without failing key checks
     key_species = np.zeros((nband, 2, 2), dtype=np.int32)  # C (nbnd, atm, pair)
-    pairs = [(1, 2), (1, 3), (3, 3), (2, 2), (1, 1), (2, 3)]
-    for ib in range(nband):
-        lo = pairs[ib % len(pairs)]
-        hi = pairs[(ib + 1) % len(pairs)]
-        key_species[ib, 0] = lo
-        key_species[ib, 1] = hi
-    if nband >= 4:
-        key_species[3, :, :] = 0  # exercise the (0,0)->(2,2) rewrite
+    if key_pairs is not None:
+        for ib in range(nband):
+            key_species[ib, 0] = key_species[ib, 1] = key_pairs[ib % len(key_pairs)]
+    else:
+        pairs = [(1, 2), (1, 3), (3, 3), (2, 2), (1, 1), (2, 3)]
+        for ib in range(nband):
+            lo = pairs[ib % len(pairs)]
+            hi = pairs[(ib + 1) % len(pairs)]
+            key_species[ib, 0] = lo
+            key_species[ib, 1] = hi
+        if nband >= 4:
+            key_species[3, :, :] = 0  # exercise the (0,0)->(2,2) rewrite
 
     # vmr_ref (C order: ntemp, 1+ngas, 2)
     ref_vmr = {"h2o": 5e-3, "co2": 4e-4, "o3": 5e-7, "n2o": 3.3e-7, "ch4": 1.8e-6}
@@ -157,9 +167,9 @@ def generate_kdist_nc(
         "absorption_coefficient_ref_T": ((), np.float64(250.0)),
         "press_ref_trop": ((), np.float64(PRESS_REF_TROP)),
         "kminor_lower": (("temperature", "mixing_fraction", "contributors_lower"),
-                         np.transpose(kminor_lower, (0, 1, 2))),
+                         kminor_lower),
         "kminor_upper": (("temperature", "mixing_fraction", "contributors_upper"),
-                         np.transpose(kminor_upper, (0, 1, 2))),
+                         kminor_upper),
         "gas_minor": (("minor_absorber", "string_len"), ncio.strings_to_chararray(gas_minor, 32)),
         "identifier_minor": (("minor_absorber", "string_len"), ncio.strings_to_chararray(identifier_minor, 32)),
         "minor_gases_lower": (("minor_absorber_intervals_lower", "string_len"), ncio.strings_to_chararray(mg_lo, 32)),

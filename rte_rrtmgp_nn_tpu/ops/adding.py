@@ -55,23 +55,8 @@ def adding(albedo_sfc, rdif, tdif, src_dn, src_up, src_sfc, flux_dn_top, mode="s
         denom = 1.0 / (1.0 - rdif * alb_below)
         a = tdif * denom
         b = (rdif * src_below + src_dn) * denom
-
-        def step(fdn, xs):
-            t, s, albl, srcl = xs
-            fdn_next = t * fdn + s
-            fup_next = fdn_next * albl + srcl
-            return fdn_next, (jnp.sum(fdn_next, -1), jnp.sum(fup_next, -1))
-
-        _, (dn_sums, up_sums) = jax.lax.scan(
-            step, flux_dn_top,
-            (jnp.moveaxis(a, 1, 0), jnp.moveaxis(b, 1, 0),
-             jnp.moveaxis(alb_below, 1, 0), jnp.moveaxis(src_below, 1, 0)),
-        )
-        bb_dn0 = jnp.sum(flux_dn_top, -1)
-        bb_up0 = jnp.sum(flux_dn_top * alb_top + src_top, -1)
-        bb_dn = jnp.concatenate([bb_dn0[:, None], jnp.moveaxis(dn_sums, 0, 1)], axis=1)
-        bb_up = jnp.concatenate([bb_up0[:, None], jnp.moveaxis(up_sums, 0, 1)], axis=1)
-        return bb_up, bb_dn
+        return _broadband_down_sweep(
+            flux_dn_top, a, b, alb_below, src_below, alb_top, src_top)
 
     if mode == "parallel":
         albedo, src = _albedo_src_parallel(albedo_sfc, rdif, tdif, src_dn, src_up, src_sfc)
@@ -87,29 +72,40 @@ def adding(albedo_sfc, rdif, tdif, src_dn, src_up, src_sfc, flux_dn_top, mode="s
     b = (rdif * src[:, 1:, :] + src_dn) * denom
 
     if broadband:
-        alb_l = jnp.moveaxis(albedo[:, 1:, :], 1, 0)
-        src_l = jnp.moveaxis(src[:, 1:, :], 1, 0)
-
-        def step(fdn, xs):
-            t, s, albl, srcl = xs
-            fdn_next = t * fdn + s
-            fup_next = fdn_next * albl + srcl
-            return fdn_next, (jnp.sum(fdn_next, -1), jnp.sum(fup_next, -1))
-
-        _, (dn_sums, up_sums) = jax.lax.scan(
-            step, flux_dn_top, (jnp.moveaxis(a, 1, 0), jnp.moveaxis(b, 1, 0), alb_l, src_l)
-        )
-        bb_dn0 = jnp.sum(flux_dn_top, -1)
-        bb_up0 = jnp.sum(flux_dn_top * albedo[:, 0, :] + src[:, 0, :], -1)
-        bb_dn = jnp.concatenate([bb_dn0[:, None], jnp.moveaxis(dn_sums, 0, 1)], axis=1)
-        bb_up = jnp.concatenate([bb_up0[:, None], jnp.moveaxis(up_sums, 0, 1)], axis=1)
-        return bb_up, bb_dn
+        return _broadband_down_sweep(
+            flux_dn_top, a, b, albedo[:, 1:, :], src[:, 1:, :],
+            albedo[:, 0, :], src[:, 0, :])
 
     flux_dn = affine_scan(a, b, flux_dn_top, axis=1, mode=mode)
 
     # SH08 Eq 12 at every level.
     flux_up = flux_dn * albedo + src
     return flux_up, flux_dn
+
+
+def _broadband_down_sweep(flux_dn_top, a, b, alb_below, src_below, alb0, src0):
+    """Top-to-surface affine flux sweep with in-scan spectral reduction:
+    fdn[l+1] = a[l] fdn[l] + b[l], fup from the below-level (albedo, src),
+    level-0 seam from (alb0, src0). Shared by both broadband adding paths
+    so the reduction semantics cannot diverge. Returns (bb_up, bb_dn),
+    each (ncol, nlay+1)."""
+
+    def step(fdn, xs):
+        t, s, albl, srcl = xs
+        fdn_next = t * fdn + s
+        fup_next = fdn_next * albl + srcl
+        return fdn_next, (jnp.sum(fdn_next, -1), jnp.sum(fup_next, -1))
+
+    _, (dn_sums, up_sums) = jax.lax.scan(
+        step, flux_dn_top,
+        (jnp.moveaxis(a, 1, 0), jnp.moveaxis(b, 1, 0),
+         jnp.moveaxis(alb_below, 1, 0), jnp.moveaxis(src_below, 1, 0)),
+    )
+    bb_dn0 = jnp.sum(flux_dn_top, -1)
+    bb_up0 = jnp.sum(flux_dn_top * alb0 + src0, -1)
+    bb_dn = jnp.concatenate([bb_dn0[:, None], jnp.moveaxis(dn_sums, 0, 1)], axis=1)
+    bb_up = jnp.concatenate([bb_up0[:, None], jnp.moveaxis(up_sums, 0, 1)], axis=1)
+    return bb_up, bb_dn
 
 
 def _albedo_src_below_sequential(albedo_sfc, rdif, tdif, src_dn, src_up, src_sfc):

@@ -226,13 +226,15 @@ def tau_minor_one_atmos(
         je = ic.jeta[:, :, iflav, :]  # (ncol, nlay, 2)
         fe = ic.feta[:, :, iflav, :]
         ks = minor.kminor_start[im]
+        # static slice BEFORE the gather: only this minor's nb_g columns
+        # ride the (ncol, nlay) row gather, not all ncontrib
+        ksub = kflat[:, ks:ks + nb_g]
         contrib = jnp.zeros((ncol, nlay, nb_g), dtype)
-        cols = jnp.arange(ks, ks + nb_g)
         for dtl in (0, 1):
             jt = ic.jtemp + dtl
             for de in (0, 1):
                 rows = jt * neta + je[..., dtl] + de  # (ncol, nlay)
-                kval = kflat[rows][..., cols]  # (ncol, nlay, nb_g)
+                kval = ksub[rows]  # (ncol, nlay, nb_g)
                 w_eta = jnp.where(de == 0, 1.0 - fe[..., dtl], fe[..., dtl])
                 ftt = jnp.where(dtl == 0, 1.0 - ic.ftemp, ic.ftemp)
                 contrib = contrib + (w_eta * ftt)[..., None] * kval

@@ -139,34 +139,18 @@ def _affine_scan_broadband_reverse(trans, source, r_last):
 
 
 def lw_source_noscat(tau_loc, trans, lay_source, lev_source):
-    """Linear-in-tau layer sources (canonical top-at-0).
+    """Linear-in-tau layer sources (canonical top-at-0); the spectral-path
+    front-end of the shared ``_noscat_sources`` math (the double-where
+    there guards the unselected branch's backward pass: 1/tau at tau -> 0
+    would otherwise produce Inf * 0 = NaN gradients).
 
     Returns (source_dn, source_up), each (ncol, nlay, ngpt).
     source_dn exits the layer bottom (level l+1), source_up the top (level l).
     """
-    dtype = tau_loc.dtype
-    tau_thresh = jnp.sqrt(jnp.finfo(dtype).eps)
-    lev_top = lev_source[:, :-1, :]
-    lev_bot = lev_source[:, 1:, :]
-    if config.use_pade_source:
-        # Pade form of Clough et al. 1992 Eq 15 (reference use_Pade_source).
-        coeff = 0.2 * tau_loc
-        one_m_t = 1.0 - trans
-        source_up = one_m_t * (lay_source + coeff * lev_top) / (1.0 + coeff)
-        source_dn = one_m_t * (lay_source + coeff * lev_bot) / (1.0 + coeff)
-        return source_dn, source_up
-    # double-where guards the unselected branch's backward pass (1/tau at
-    # tau -> 0 would otherwise produce Inf * 0 = NaN gradients)
-    tau_safe = jnp.where(tau_loc > tau_thresh, tau_loc, 1.0)
-    fact = jnp.where(
-        tau_loc > tau_thresh,
-        (1.0 - trans) / tau_safe - trans,
-        tau_loc * (0.5 - (1.0 / 3.0) * tau_loc),
-    )
-    one_m_t = 1.0 - trans
-    source_dn = one_m_t * lev_bot + 2.0 * fact * (lay_source - lev_bot)
-    source_up = one_m_t * lev_top + 2.0 * fact * (lay_source - lev_top)
-    return source_dn, source_up
+    tau_thresh = jnp.sqrt(jnp.finfo(tau_loc.dtype).eps)
+    return _noscat_sources(
+        tau_loc, trans, lay_source,
+        lev_source[:, :-1, :], lev_source[:, 1:, :], tau_thresh)
 
 
 def _lw_noscat_broadband_fused(
@@ -381,9 +365,7 @@ def _lw_noscat_broadband_presrc(
     Layer-major only (tau/lay_source (nlay, ncol, ngpt), lev_source
     (nlay+1, ncol, ngpt) or a pre-split (lev_top, lev_bot) tuple).
     Canonical top-at-0, single angle."""
-    dtype = tau.dtype
-    two_pi_w = jnp.asarray(2.0 * np.pi * weight, dtype)
-    tau_thresh = jnp.sqrt(jnp.finfo(dtype).eps)
+    tau_thresh = jnp.sqrt(jnp.finfo(tau.dtype).eps)
 
     Db = D[None, :, :] if D.ndim == 2 else D
     tl = tau * Db

@@ -85,45 +85,53 @@ def sw_solver_noscat(tau, mu0, inc_flux, top_at_1=True) -> jnp.ndarray:
 
 
 def sw_two_stream_source(tau, ssa, g, mu0, sfc_alb_dir, flux_dn_dir):
-    """Fused PIFM two-stream + direct-beam source (canonical top-at-0).
+    """Fused PIFM two-stream + direct-beam source (canonical top-at-0),
+    reference sw_two_stream_source (:1364-1480).
 
     flux_dn_dir: (ncol, nlay+1, ngpt) precomputed direct beam.
     Returns (rdif, tdif, source_up, source_dn, source_sfc).
     """
-    dtype = tau.dtype
-    eps = jnp.finfo(dtype).eps
-    mu0b = mu0[:, None, None]
-    mu0_inv = 1.0 / mu0b
+    rdif, tdif, rdir, tdir, _ = _sw_two_stream_coeffs(
+        tau, ssa, g, mu0[:, None, None])
+    dir_inc = flux_dn_dir[:, :-1, :]
+    source_up = rdir * dir_inc
+    source_dn = tdir * dir_inc
+    source_sfc = flux_dn_dir[:, -1, :] * sfc_alb_dir
+    return rdif, tdif, source_up, source_dn, source_sfc
 
+
+def _sw_two_stream_coeffs(tau_l, ssa_l, g_l, mu0b):
+    """PIFM two-stream coefficients (rdif, tdif, rdir, tdir, tnoscat);
+    elementwise over any layout (mu0b pre-broadcast against tau_l), shared
+    by sw_two_stream_source and both fused broadband sweeps."""
+    dtype = tau_l.dtype
+    eps = jnp.finfo(dtype).eps
+    mu0_inv = 1.0 / mu0b
     # Zdunkowski Practical Improved Flux Method coefficients.
-    gamma1 = (8.0 - ssa * (5.0 + 3.0 * g)) * 0.25
-    gamma2 = 3.0 * (ssa * (1.0 - g)) * 0.25
-    gamma3 = (2.0 - 3.0 * mu0b * g) * 0.25
+    gamma1 = (8.0 - ssa_l * (5.0 + 3.0 * g_l)) * 0.25
+    gamma2 = 3.0 * (ssa_l * (1.0 - g_l)) * 0.25
+    gamma3 = (2.0 - 3.0 * mu0b * g_l) * 0.25
     gamma4 = 1.0 - gamma3
     alpha1 = gamma1 * gamma4 + gamma2 * gamma3  # MW Eq 16
     alpha2 = gamma1 * gamma3 + gamma2 * gamma4  # MW Eq 17
-
     k = jnp.sqrt(jnp.maximum((gamma1 - gamma2) * (gamma1 + gamma2), config.k_min))
     # _exp honors config.fast_exponential (reference Tnoscat :1293,
     # exp_minusktau :1311 under -DFAST_EXPONENTIAL).
-    tnoscat = _exp(-tau * mu0_inv)
-    e1 = _exp(-tau * k)
+    tnoscat = _exp(-tau_l * mu0_inv)
+    e1 = _exp(-tau_l * k)
     e2 = e1 * e1
     k2e = 2.0 * k * e1
-
     # Refactored to avoid rounding error when k and gamma1 differ in magnitude.
     rt_term = 1.0 / (k * (1.0 + e2) + gamma1 * (1.0 - e2))
     rdif = rt_term * gamma2 * (1.0 - e2)  # MW Eq 25
     tdif = rt_term * k2e  # MW Eq 26
-
     k_mu = k * mu0b
     k_mu2 = k_mu * k_mu
     k_g3 = k * gamma3
     k_g4 = k * gamma4
     # Divide by (1 - k_mu^2) guarded by eps (the resonance k*mu0 == 1).
     denom = jnp.where(jnp.abs(1.0 - k_mu2) >= eps, 1.0 - k_mu2, eps)
-    rt2 = ssa * rt_term / denom
-
+    rt2 = ssa_l * rt_term / denom
     # MW Eq 14 (reflectance to direct beam), ecRAD arrangement.
     rdir = rt2 * (
         (1.0 - k_mu) * (alpha2 + k_g3)
@@ -136,51 +144,6 @@ def sw_two_stream_source(tau, ssa, g, mu0, sfc_alb_dir, flux_dn_dir):
         - tnoscat * ((1.0 + k_mu) * (alpha1 + k_g4) - (1.0 - k_mu) * (alpha1 - k_g4) * e2)
     )
     # Energy-safety clamps (credit Robin Hogan / ecRAD; reference :1467-1469).
-    rdir = jnp.clip(rdir, 0.0, 1.0 - tnoscat)
-    tdir = jnp.clip(tdir, 0.0, 1.0 - tnoscat - rdir)
-
-    dir_inc = flux_dn_dir[:, :-1, :]
-    source_up = rdir * dir_inc
-    source_dn = tdir * dir_inc
-    source_sfc = flux_dn_dir[:, -1, :] * sfc_alb_dir
-    return rdif, tdif, source_up, source_dn, source_sfc
-
-
-def _sw_two_stream_coeffs(tau_l, ssa_l, g_l, mu0b):
-    """Per-layer PIFM two-stream coefficients (rdif, tdif, rdir, tdir,
-    tnoscat); elementwise, shared by both fused sweeps."""
-    dtype = tau_l.dtype
-    eps = jnp.finfo(dtype).eps
-    mu0_inv = 1.0 / mu0b
-    gamma1 = (8.0 - ssa_l * (5.0 + 3.0 * g_l)) * 0.25
-    gamma2 = 3.0 * (ssa_l * (1.0 - g_l)) * 0.25
-    gamma3 = (2.0 - 3.0 * mu0b * g_l) * 0.25
-    gamma4 = 1.0 - gamma3
-    alpha1 = gamma1 * gamma4 + gamma2 * gamma3
-    alpha2 = gamma1 * gamma3 + gamma2 * gamma4
-    k = jnp.sqrt(jnp.maximum((gamma1 - gamma2) * (gamma1 + gamma2), config.k_min))
-    tnoscat = _exp(-tau_l * mu0_inv)  # fast_exponential-aware, see above
-    e1 = _exp(-tau_l * k)
-    e2 = e1 * e1
-    k2e = 2.0 * k * e1
-    rt_term = 1.0 / (k * (1.0 + e2) + gamma1 * (1.0 - e2))
-    rdif = rt_term * gamma2 * (1.0 - e2)
-    tdif = rt_term * k2e
-    k_mu = k * mu0b
-    k_mu2 = k_mu * k_mu
-    k_g3 = k * gamma3
-    k_g4 = k * gamma4
-    denom = jnp.where(jnp.abs(1.0 - k_mu2) >= eps, 1.0 - k_mu2, eps)
-    rt2 = ssa_l * rt_term / denom
-    rdir = rt2 * (
-        (1.0 - k_mu) * (alpha2 + k_g3)
-        - (1.0 + k_mu) * (alpha2 - k_g3) * e2
-        - k2e * (gamma3 - alpha2 * mu0b) * tnoscat
-    )
-    tdir = rt2 * (
-        k2e * (gamma4 + alpha1 * mu0b)
-        - tnoscat * ((1.0 + k_mu) * (alpha1 + k_g4) - (1.0 - k_mu) * (alpha1 - k_g4) * e2)
-    )
     rdir = jnp.clip(rdir, 0.0, 1.0 - tnoscat)
     tdir = jnp.clip(tdir, 0.0, 1.0 - tnoscat - rdir)
     return rdif, tdif, rdir, tdir, tnoscat

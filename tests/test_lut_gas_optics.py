@@ -89,6 +89,36 @@ class TestLoader:
         with pytest.raises(ValueError, match="key species"):
             load_kdist(lw_kdist_file, ["h2o", "co2"])  # o3/ch4 are key somewhere
 
+    def test_zero_key_band_resolves_in_reduced_space(self, tmp_path):
+        """(0,0) key-species bands rewrite to (2,2) AFTER gas reduction
+        (reference create_key_species_reduce THEN create_flavor,
+        mo_gas_optics_rrtmgp.F90:1509-1514): with the file's second gas
+        pruned, (2,2) must mean the second AVAILABLE gas -- the loader
+        must neither raise on the pruned file-gas nor point the flavor at
+        the wrong species."""
+        from rte_rrtmgp_nn_tpu.gasoptics.synthetic import generate_kdist_nc
+
+        path = str(tmp_path / "kd_zero_key.nc")
+        # co2 (file gas 2) is never key so it can be pruned; band 4 has
+        # no key species at all
+        generate_kdist_nc(path, kind="lw", gases=("h2o", "co2", "o3"),
+                          nband=4, key_pairs=[(1, 1), (3, 3), (1, 3), (0, 0)])
+        kd = load_kdist(path, ["h2o", "o3"])
+        assert kd.gas_names == ("h2o", "o3")
+        # the zero-key band's flavor pair is (2,2) = o3 in REDUCED space
+        assert (2, 2) in kd.flavor
+        iflav = kd.flavor.index((2, 2))
+        gf = np.asarray(kd.gpoint_flavor)
+        g2b = np.asarray(kd.spectral.gpt2band)
+        assert np.all(gf[g2b == 3] == iflav)
+        # unpruned load: reduced list == file list, so the zero-key band's
+        # flavor is (2,2) = co2 there (reference semantics)
+        kd_full = load_kdist(path, ["h2o", "co2", "o3"])
+        assert (2, 2) in kd_full.flavor
+        gf_full = np.asarray(kd_full.gpoint_flavor)
+        assert np.all(
+            gf_full[g2b == 3] == kd_full.flavor.index((2, 2)))
+
     def test_sw_load(self, sw_kdist_file):
         kd = load_kdist(sw_kdist_file, GASES)
         assert not kd.is_internal_source
