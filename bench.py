@@ -47,9 +47,12 @@ def ensure_live_backend(probe_timeout_s: int | None = None,
     if budget_s is None:
         budget_s = float(os.environ.get("BENCH_TPU_PROBE_BUDGET_S", 1800))
 
-    if os.environ.get("JAX_PLATFORMS", "") in ("cpu", ""):
-        # The env var alone can lose to the preset axon plugin; pin the
-        # config too (same belt-and-braces as tests/conftest.py).
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # Only an EXPLICIT cpu request pins the CPU backend (the env var
+        # alone can lose to the preset axon plugin; pin the config too,
+        # same belt-and-braces as tests/conftest.py). An UNSET var falls
+        # through to the probe: default PJRT discovery may well find a
+        # TPU, and silently benching CPU would publish a ~175x-low artifact.
         import jax
 
         jax.config.update("jax_platforms", "cpu")

@@ -71,7 +71,12 @@ def compare_flux_files(
             max_diffs[v] = d
             if verbose and d > report_threshold:
                 print(f"{v}: max abs diff {d:.3e}")
-    passed = all(d <= fail_threshold for d in max_diffs.values())
+    # zero compared variables = nothing was checked, not a pass (a renamed
+    # or truncated candidate file must not sail through the golden gate)
+    passed = bool(max_diffs) and all(
+        d <= fail_threshold for d in max_diffs.values())
+    if verbose and not max_diffs:
+        print("FAILED: no common variables to compare")
     if verbose and not passed:
         bad = {k: v for k, v in max_diffs.items() if v > fail_threshold}
         print(f"FAILED variables (> {fail_threshold:g}): {bad}")

@@ -316,6 +316,10 @@ def gcm_sweep_allsky(
     gas_names = [k.split(":", 1)[1] for k in host if k.startswith("gas:")]
 
     use_mega = resolve_use_megakernel(lw=True, models=[*lw_models, *sw_models])
+    # cores return fluxes in the CALLER's orientation, so the diagnostic
+    # levels depend on top_at_1 (cf. allsky.py sfc_lev, shard_ops.py toa)
+    toa = 0 if top_at_1 else -1
+    sfc = -1 if top_at_1 else 0
 
     def body(play, plev, tlay, tlev, tsfc, emis, alb, mu0, cloud_col,
              gas_vals):
@@ -361,8 +365,8 @@ def gcm_sweep_allsky(
             )
             # one stacked (ncol, 3) output = ONE d2h fetch per block (the
             # tunnel charges ~60 ms latency per fetch)
-            return jnp.stack([fb_lw.flux_up[:, 0], fb_lw.flux_dn[:, -1],
-                              fb_sw.flux_dn[:, -1] * day], axis=1)
+            return jnp.stack([fb_lw.flux_up[:, toa], fb_lw.flux_dn[:, sfc],
+                              fb_sw.flux_dn[:, sfc] * day], axis=1)
         # layer-major cores (drivers.allsky): cloud optics folded into the
         # gas props in the g-point domain before the broadband solves, so
         # the in-scan spectral reduction survives clouds at GCM scale.
@@ -378,8 +382,8 @@ def gcm_sweep_allsky(
             play, plev, tlay, mu0, alb_b, alb_b, lwp, iwp, rel, rei, concs,
             top_at_1=top_at_1,
         )
-        return jnp.stack([fb_lw.flux_up[:, 0], fb_lw.flux_dn[:, -1],
-                          fb_sw.flux_dn[:, -1] * day], axis=1)
+        return jnp.stack([fb_lw.flux_up[:, toa], fb_lw.flux_dn[:, sfc],
+                          fb_sw.flux_dn[:, sfc] * day], axis=1)
 
     ncol = host["play"].shape[0]
     # SIGNED mu0 (night <= 0): the body masks night SW to zero (see body)
@@ -468,6 +472,13 @@ def gcm_sweep_allsky(
     builder = lambda n: [np.zeros((n, 3), np.float32)]
     outs = builder(ncol)
     elapsed = 0.0
+    if resident and mesh is not None:
+        # same guard as gcm_sweep_lw: _resident_reduce stages blocks on
+        # the default device; silently measuring one chip under a mesh
+        # would misreport multi-chip throughput
+        raise ValueError(
+            "resident=True ignores `mesh` (blocks are staged on the "
+            "default device); use the streamed path for mesh sweeps")
     for idx, build in jobs:
         step_fn, packed_list = build(idx)
         n_sub = ncol if idx is None else idx.size
@@ -480,7 +491,10 @@ def gcm_sweep_allsky(
             if warmup:
                 _warmup_stream(step_fn, packed_list, bs)
             t0 = time.perf_counter()
-            sub = stream_reduce(step_fn, packed_list, bs, builder)
+            sub = stream_reduce(
+                step_fn, packed_list, bs, builder,
+                sharding=None if mesh is None else column_sharding(mesh, 2),
+            )
             el = time.perf_counter() - t0
         if idx is None:
             outs = sub
@@ -545,9 +559,13 @@ def gcm_sweep_lw(
                 models, table, spectral, play, plev, tlay, tlev, tsfc,
                 emis_b, concs, top_at_1=top_at_1,
             )
-        # stream back only level-0/surface diagnostics, stacked into ONE
+        # stream back only TOA/surface diagnostics, stacked into ONE
         # (ncol, 2) fetch, to minimize D2H traffic + per-fetch latency
-        return jnp.stack([fb.flux_up[:, 0], fb.flux_dn[:, -1]], axis=1)
+        # (fluxes come back in the caller's orientation -> levels flip
+        # with top_at_1)
+        toa = 0 if top_at_1 else -1
+        sfc = -1 if top_at_1 else 0
+        return jnp.stack([fb.flux_up[:, toa], fb.flux_dn[:, sfc]], axis=1)
 
     if precision == "mixed":
         specs = ([(host["play"], "log"),

@@ -24,11 +24,15 @@ def compute_bc(
     plev_top: jnp.ndarray,
     gas_desc: GasConcs,
     mu0: Optional[jnp.ndarray] = None,
+    top_at_1: bool = True,
 ) -> jnp.ndarray:
     """Spectral downward flux (ncol, ngpt) at pressure ``plev_top``.
 
     tlay_top: (ncol,) temperature of the cap layer; plev_top: (ncol,)
-    domain-top pressure [Pa]; mu0 present selects the SW path.
+    domain-top pressure [Pa]; mu0 present selects the SW path. top_at_1
+    states the orientation of ``gas_desc``'s layer axis so the cap layer
+    reuses the TOP-of-domain concentrations either way (the reference
+    samples layer 1 vs nlay, mo_compute_bc.F90).
     """
     ncol = tlay_top.shape[0]
     dtype = tlay_top.dtype
@@ -39,10 +43,11 @@ def compute_bc(
     tlev = jnp.stack([tlay_top, tlay_top], axis=1)
 
     # cap-layer gas concentrations: reuse the top-of-domain values
+    sl = slice(None, 1) if top_at_1 else slice(-1, None)
     top_concs = {}
     for g in gas_desc.gas_names:
         v = gas_desc.get_raw(g)
-        top_concs[g] = v if v.ndim == 0 else (v[..., :1] if v.ndim == 1 else v[:, :1])
+        top_concs[g] = v if v.ndim == 0 else (v[..., sl] if v.ndim == 1 else v[:, sl])
     gd = GasConcs(top_concs)
 
     if mu0 is None:

@@ -55,6 +55,12 @@ class GasConcs:
             arr = jnp.asarray(v)
             if arr.ndim > 2:
                 raise ValueError(f"{name}: VMR must be scalar, (nlay,), or (ncol, nlay)")
+            # same [0, 1] guard as set_vmr (the reference validates on its
+            # only construction path, mo_gas_concentrations.F90:130-250)
+            if not isinstance(arr, jax.core.Tracer):
+                vv = np.asarray(arr)
+                if np.any(vv < 0.0) or np.any(vv > 1.0):
+                    raise ValueError(f"create({name}): values outside [0,1]")
             out[normalize_gas_name(name)] = arr
         return GasConcs(out)
 

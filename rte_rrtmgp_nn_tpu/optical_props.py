@@ -192,8 +192,14 @@ def increment(op1: OpticalProps, op2: OpticalProps) -> OpticalProps:
         return dataclasses.replace(op1, tau=op1.tau + tau2 * (1.0 - ssa2))
 
     if isinstance(op2, OpticalProps1scl):
-        ssa2 = jnp.zeros_like(tau2)
-        g2 = jnp.zeros_like(tau2)
+        # absorption-only increment: g / p UNCHANGED (reference
+        # increment_2stream_by_1scalar :169-189 "g is unchanged",
+        # increment_nstream_by_1scalar :255-275 "p is unchanged") -- the
+        # generic tauscat recombination below would rewrite them (to 0
+        # where the scattering optical depth underflows eps)
+        tau12 = op1.tau + tau2
+        ssa = op1.tau * op1.ssa / jnp.maximum(eps, tau12)
+        return dataclasses.replace(op1, tau=tau12, ssa=ssa)
     else:
         ssa2 = _expand_if_byband(op2.ssa, op2.spectral, op1.spectral)
         if isinstance(op2, OpticalProps2str):
@@ -214,13 +220,11 @@ def increment(op1: OpticalProps, op2: OpticalProps) -> OpticalProps:
         p2 = jax.vmap(lambda m: _expand_if_byband(m, op2.spectral, op1.spectral))(op2.p)
         if p2.shape[0] != op1.p.shape[0]:
             raise ValueError("increment: moment counts differ for nstr+nstr")
-    elif isinstance(op2, OpticalProps2str):
+    else:  # 2str source (1scl returned above)
         # build moments from asymmetry: p_m = g**(m+1) (Henyey-Greenstein-like,
         # matching the reference inc_nstr_by_2str moment reconstruction)
         m = jnp.arange(1, op1.p.shape[0] + 1, dtype=op1.tau.dtype)
         p2 = g2[None] ** m[:, None, None, None]
-    else:
-        p2 = jnp.zeros_like(op1.p)
     p = (op1.p * (op1.tau * op1.ssa)[None] + p2 * (tau2 * ssa2)[None]) / jnp.maximum(eps, tauscat12)[None]
     ssa = tauscat12 / jnp.maximum(eps, tau12)
     return dataclasses.replace(op1, tau=tau12, ssa=ssa, p=p)

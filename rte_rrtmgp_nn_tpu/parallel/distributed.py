@@ -25,19 +25,32 @@ def initialize(
     """Initialize jax.distributed (no-op on single-process setups).
 
     On TPU pods the arguments are discovered from the environment; pass
-    them explicitly for other fabrics.
+    them explicitly for other fabrics. Must run before any backend use:
+    probing the backend first (e.g. via jax.process_count or creating an
+    array) makes distributed init impossible, so this checks
+    jax.distributed's own state instead.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    if jax.distributed.is_initialized():
+        return
+    multi = num_processes is not None and num_processes > 1
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (ValueError, RuntimeError):
-        # single-process / already-initialized environments
-        pass
+    except ValueError:
+        # no coordinator discoverable from args/env: a single-process
+        # environment. If the caller explicitly asked for multiple
+        # processes, silently degrading to one host would compute a
+        # fraction of the problem -- surface it.
+        if multi:
+            raise
+    except RuntimeError:
+        # backend already initialized (an array/device query ran first)
+        # or double-init. Fatal for an intended multi-host run.
+        if multi and jax.process_count() < num_processes:
+            raise
 
 
 def global_mesh(n_gpt: int = 1):

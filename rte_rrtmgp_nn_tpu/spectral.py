@@ -13,9 +13,31 @@ one-hot matmul / take along the minor axis.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax.numpy as jnp
 import numpy as np
+
+
+@functools.lru_cache(maxsize=64)
+def _gpt2band(band_lims_gpt: tuple, ngpt: int) -> np.ndarray:
+    out = np.zeros(ngpt, dtype=np.int32)
+    for ib, (s, e) in enumerate(band_lims_gpt):
+        out[s:e] = ib
+    out.flags.writeable = False  # cached: shared across callers
+    return out
+
+
+@functools.lru_cache(maxsize=64)
+def _band_onehot(band_lims_gpt: tuple, ngpt: int) -> np.ndarray:
+    """(nband, ngpt) f32 one-hot band membership, built once per mapping
+    (the mapping is frozen/hashable, so repeated un-jitted expand/reduce
+    calls reuse it instead of re-running the Python loop)."""
+    g2b = _gpt2band(band_lims_gpt, ngpt)
+    nband = len(band_lims_gpt)
+    oh = (g2b[None, :] == np.arange(nband)[:, None]).astype(np.float32)
+    oh.flags.writeable = False  # cached: shared across callers
+    return oh
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,11 +90,8 @@ class SpectralMapping:
 
     @property
     def gpt2band(self) -> np.ndarray:
-        """(ngpt,) 0-based band index of each g-point."""
-        out = np.zeros(self.ngpt, dtype=np.int32)
-        for ib, (s, e) in enumerate(self.band_lims_gpt):
-            out[s:e] = ib
-        return out
+        """(ngpt,) 0-based band index of each g-point (cached per mapping)."""
+        return _gpt2band(self.band_lims_gpt, self.ngpt)
 
     @property
     def band_lims_gpt_array(self) -> np.ndarray:
@@ -102,15 +121,12 @@ class SpectralMapping:
         contraction rides the MXU and fuses with neighbors.
         """
         one_hot = jnp.asarray(
-            (self.gpt2band[None, :] == np.arange(self.nband)[:, None]).astype(np.float32)
+            _band_onehot(self.band_lims_gpt, self.ngpt)
         ).astype(band_values.dtype)
         return band_values @ one_hot
 
     def reduce_sum(self, gpt_values: jnp.ndarray) -> jnp.ndarray:
         """Sum per-g-point values (..., ngpt) into per-band (..., nband)
         (the byband flux reduction, mo_fluxes_byband_kernels.F90:31-66)."""
-        nb = self.nband
-        one_hot = jnp.asarray(
-            (self.gpt2band[:, None] == np.arange(nb)[None, :]).astype(np.float32)
-        )
+        one_hot = jnp.asarray(_band_onehot(self.band_lims_gpt, self.ngpt).T)
         return jnp.einsum("...g,gb->...b", gpt_values, one_hot.astype(gpt_values.dtype))

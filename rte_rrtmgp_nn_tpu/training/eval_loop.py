@@ -163,6 +163,13 @@ def train_with_radiation_eval(
             if bad_epochs >= patience:
                 break
     if save_path is not None:
+        if best.best_epoch < 0:
+            # zero epochs, or every score was NaN (diverged training):
+            # best_model is still the UNTRAINED init and history[-1] would
+            # stamp it with the wrong epoch's metrics -- refuse to save
+            raise RuntimeError(
+                "no epoch produced a finite radiation score; refusing to "
+                "save the untrained initial model")
         hr_rel = best.history[best.best_epoch]["metrics"][0] / max(abs(ref_scores[0]), 1e-12)
         frc_rel = max(
             abs(m) / max(abs(r), 1e-12)

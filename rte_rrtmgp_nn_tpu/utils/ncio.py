@@ -178,19 +178,16 @@ def write_nc(
         for name, size in dims.items():
             f.createDimension(name, int(size))
         for name, (vdims, data) in variables.items():
+            # the array's dtype is stored as given: callers casting to
+            # float64 (col_dry, pres_level, regression goldens) keep the
+            # precision, callers wanting float32 files cast themselves (a
+            # prior silent finite-f64 -> f32 downcast defeated both)
             data = np.asarray(data)
-            if data.dtype == np.float64:
-                data = data.astype(np.float32) if _all_f32(data) else data
             var = f.createVariable(name, data.dtype, tuple(vdims))
             var[...] = data
         if attrs:
             for k, v in attrs.items():
                 setattr(f, k, v)
-
-
-def _all_f32(data: np.ndarray) -> bool:
-    # keep float64 when values need the range; model files are float32
-    return bool(np.all(np.isfinite(data.astype(np.float32))))
 
 
 def strings_to_chararray(strings: Sequence[str], width: int) -> np.ndarray:

@@ -214,6 +214,39 @@ class TestBybandReducers:
         assert gp.gpt_flux_up.shape == (2, 5, 12)
 
 
+class TestFluxFileHygiene:
+    def test_write_nc_preserves_float64(self, tmp_path):
+        """Explicit f64 casts (col_dry, pres_level, regression goldens)
+        must survive the file roundtrip; f32 stays f32."""
+        from rte_rrtmgp_nn_tpu.utils import ncio
+
+        p = str(tmp_path / "dtypes.nc")
+        v64 = np.array([[1.0 + 1e-9, 2.0]], np.float64)  # sub-f32-ulp info
+        v32 = np.array([[1.0, 2.0]], np.float32)
+        ncio.write_nc(p, {"a": 1, "b": 2},
+                      {"x64": (("a", "b"), v64), "x32": (("a", "b"), v32)})
+        with ncio.NCFile(p) as f:
+            r64 = f.read("x64")
+            r32 = f.read("x32")
+        # scipy reads back big-endian ('>f8'); compare kind+width
+        assert r64.dtype.kind == "f" and r64.dtype.itemsize == 8
+        assert r32.dtype.kind == "f" and r32.dtype.itemsize == 4
+        np.testing.assert_array_equal(r64.astype(np.float64), v64)
+
+    def test_compare_flux_files_no_common_vars_fails(self, tmp_path):
+        """Zero compared variables is a FAILED comparison, not a vacuous
+        pass (a renamed output file must not clear the golden gate)."""
+        from rte_rrtmgp_nn_tpu.drivers.flux_output import compare_flux_files
+        from rte_rrtmgp_nn_tpu.utils import ncio
+
+        arr = np.ones((2, 3), np.float32)
+        p1, p2 = str(tmp_path / "c.nc"), str(tmp_path / "r.nc")
+        ncio.write_nc(p1, {"a": 2, "b": 3}, {"rlu": (("a", "b"), arr)})
+        ncio.write_nc(p2, {"a": 2, "b": 3}, {"flux_up": (("a", "b"), arr)})
+        res = compare_flux_files(p1, p2, verbose=False)
+        assert not res["passed"] and res["max_diffs"] == {}
+
+
 class TestMixedPrecisionPacking:
     """Mixed-precision h2d packing for the streamed GCM path
     (drivers/gcm._pack_columns_mixed; VERDICT r3 item 4)."""
@@ -290,6 +323,34 @@ class TestMixedPrecisionPacking:
             jnp.asarray(pf), jnp.asarray(pq), jnp.asarray(qmeta),
             layout)[0], np.float64)
         np.testing.assert_array_equal(deq < t, raw32 < t)
+
+    def test_gcm_lw_flip_orientation_consistent(self, rfmip_file):
+        """The GCM sweep's [olr, sfc_dn] diagnostics must follow top_at_1:
+        a vertically flipped host with the flag flipped is the same
+        physical atmosphere, so the diagnostics must match exactly."""
+        import os
+
+        from rte_rrtmgp_nn_tpu.drivers.gcm import (
+            gcm_sweep_lw,
+            synthesize_gcm_columns,
+        )
+        from rte_rrtmgp_nn_tpu.drivers.rfmip_io import read_rfmip
+        from rte_rrtmgp_nn_tpu.models.network import load_model_netcdf
+
+        path = "/root/reference/neural/data/lw-g128-210809_both_BEST.nc"
+        if not os.path.exists(path):
+            pytest.skip("reference NN models not available")
+        base = read_rfmip(rfmip_file)
+        host = synthesize_gcm_columns(base, 128)
+        m = [load_model_netcdf(path)]
+        a = gcm_sweep_lw(host, m, block_size=64, top_at_1=base.top_at_1)
+        flipped = {
+            k: (v[:, ::-1].copy() if getattr(v, "ndim", 0) == 2 else v)
+            for k, v in host.items()
+        }
+        b = gcm_sweep_lw(flipped, m, block_size=64,
+                         top_at_1=not base.top_at_1)
+        np.testing.assert_array_equal(a["diagnostics"], b["diagnostics"])
 
     def test_gcm_lw_mixed_matches_f32(self, rfmip_file):
         """Driver-level parity: the mixed-precision streamed sweep must

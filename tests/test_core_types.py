@@ -93,6 +93,13 @@ class TestOpticalProps:
         np.testing.assert_allclose(np.asarray(out.tau), np.asarray(op.tau) + 0.5, rtol=1e-6)
         # scattering optical depth unchanged -> ssa decreases
         assert np.all(np.asarray(out.ssa) < np.asarray(op.ssa) + 1e-7)
+        # g is UNCHANGED bit-for-bit (reference
+        # increment_2stream_by_1scalar:169-189 "g is unchanged") --
+        # including where ssa == 0 and a tauscat recombination would
+        # zero it
+        op0 = dataclasses.replace(op, ssa=op.ssa.at[:, :2].set(0.0))
+        out0 = increment(op0, other)
+        np.testing.assert_array_equal(np.asarray(out0.g), np.asarray(op0.g))
 
     def test_increment_byband_broadcast(self, rng):
         """Band-resolved props broadcast to g-points (inc_*_bybnd kernels)."""
@@ -160,3 +167,85 @@ class TestGasConcs:
         assert get_ref_vmr(2, "cfc11") == 0.0
         assert get_ref_vmr(3, "ch4") == pytest.approx(2478.709e-9)
         assert get_ref_vmr(1, "not_a_gas") == 0.0
+
+
+class TestRteDispatchGuards:
+    """Argument-consistency + check_values wiring in rte_lw/rte_sw
+    (reference mo_rte_lw.F90:190-266, mo_rte_sw.F90:120-133)."""
+
+    def _lw_setup(self, rng):
+        from rte_rrtmgp_nn_tpu.sources import SourceFuncLW
+
+        sm = make_spectral()
+        ncol, nlay, ngpt = 2, 4, sm.ngpt
+        u = lambda *s: jnp.asarray(rng.uniform(0.1, 1.0, s), jnp.float32)
+        props1 = OpticalProps1scl(u(ncol, nlay, ngpt), sm)
+        props2 = random_2str(rng, ncol=ncol, nlay=nlay, spectral=sm)
+        src = SourceFuncLW(
+            lay_source=u(ncol, nlay, ngpt),
+            lev_source=u(ncol, nlay + 1, ngpt),
+            sfc_source=u(ncol, ngpt),
+            sfc_source_jac=u(ncol, ngpt),
+            spectral=sm,
+        )
+        emis = jnp.full((ncol, sm.nband), 0.98, jnp.float32)
+        return props1, props2, src, emis
+
+    def test_lw_ds_rejected_on_2str(self, rng):
+        from rte_rrtmgp_nn_tpu.rte import rte_lw
+
+        props1, props2, src, emis = self._lw_setup(rng)
+        ds = jnp.full(props1.tau.shape[::2], 1.66, jnp.float32)
+        with pytest.raises(ValueError, match="lw_ds"):
+            rte_lw(props2, True, src, emis, lw_ds=ds)
+        with pytest.raises(ValueError, match="n_gauss_angles"):
+            rte_lw(props1, True, src, emis, lw_ds=ds, n_gauss_angles=2)
+
+    def test_2stream_rejects_1scl_and_jacobian(self, rng):
+        from rte_rrtmgp_nn_tpu.rte import rte_lw
+
+        props1, props2, src, emis = self._lw_setup(rng)
+        with pytest.raises(ValueError, match="two-stream"):
+            rte_lw(props1, True, src, emis, use_2stream=True)
+        with pytest.raises(ValueError, match="Jacobian"):
+            rte_lw(props2, True, src, emis, use_2stream=True, compute_jac=True)
+
+    def test_check_values_catches_bad_inputs(self, rng):
+        from rte_rrtmgp_nn_tpu.config import config_override
+        from rte_rrtmgp_nn_tpu.rte import rte_lw, rte_sw
+
+        props1, props2, src, emis = self._lw_setup(rng)
+        ncol, _, ngpt = props1.tau.shape
+        with config_override(check_values=True):
+            # valid inputs pass
+            rte_lw(props1, True, src, emis)
+            with pytest.raises(ValueError, match="sfc_emis"):
+                rte_lw(props1, True, src, emis + 2.0)
+            bad = dataclasses.replace(props2, ssa=props2.ssa + 2.0)
+            with pytest.raises(ValueError, match="ssa"):
+                rte_lw(bad, True, src, emis, use_2stream=True)
+            mu0 = jnp.full((ncol,), 0.8, jnp.float32)
+            inc = jnp.ones((ncol, ngpt), jnp.float32)
+            alb = jnp.zeros((ncol, ngpt), jnp.float32)
+            rte_sw(props2, True, mu0, inc, alb, alb)
+            with pytest.raises(ValueError, match="mu0"):
+                rte_sw(props2, True, mu0 - 1.0, inc, alb, alb)
+            with pytest.raises(ValueError, match="inc_flux"):
+                rte_sw(props2, True, mu0, inc - 2.0, alb, alb)
+
+    def test_sw_broadband_rank_consistent_across_prop_types(self, rng):
+        from rte_rrtmgp_nn_tpu.rte import rte_sw
+
+        props1, props2, _, _ = self._lw_setup(rng)
+        ncol, nlay, ngpt = props1.tau.shape
+        mu0 = jnp.full((ncol,), 0.8, jnp.float32)
+        inc = jnp.ones((ncol, ngpt), jnp.float32)
+        alb = jnp.zeros((ncol, ngpt), jnp.float32)
+        s1 = rte_sw(props1, True, mu0, inc, alb, alb, broadband=True)
+        s2 = rte_sw(props2, True, mu0, inc, alb, alb, broadband=True)
+        assert s1.flux_dn.shape == (ncol, nlay + 1)
+        assert s1.flux_dn.shape == s2.flux_dn.shape
+
+    def test_create_validates_range(self):
+        with pytest.raises(ValueError, match="outside"):
+            GasConcs.create({"h2o": 1.5})

@@ -145,6 +145,27 @@ class TestComputeBC:
         # near-total transmission of the thin cap: close to TSI*mu0
         assert 0.9 * 1360.85 * 0.8 < total <= 1360.85 * 0.8 * 1.001
 
+    def test_gas_profile_orientation(self, lw_kd):
+        """The cap layer must reuse the TOP-of-domain gas values in either
+        orientation (reference samples layer 1 vs nlay,
+        mo_compute_bc.F90) -- not unconditionally index 0."""
+        from rte_rrtmgp_nn_tpu.gas_concs import GasConcs
+
+        ncol, nlay = 3, 8
+        tlay_top = jnp.full((ncol,), 250.0)
+        plev_top = jnp.full((ncol,), 100.0)
+        h2o = np.linspace(3e-6, 3e-3, nlay)  # dry top -> moist surface
+        rest = {"co2": 4e-4, "o3": 1e-6, "n2o": 3.2e-7, "ch4": 1.8e-6}
+        gd_top0 = GasConcs.create({"h2o": h2o, **rest})
+        gd_sfc0 = GasConcs.create({"h2o": h2o[::-1].copy(), **rest})
+        a = compute_bc(lw_kd, tlay_top, plev_top, gd_top0, top_at_1=True)
+        b = compute_bc(lw_kd, tlay_top, plev_top, gd_sfc0, top_at_1=False)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # mis-stating the orientation feeds the moist SURFACE h2o to the
+        # cap and changes the BC -- the slice is load-bearing
+        c = compute_bc(lw_kd, tlay_top, plev_top, gd_sfc0, top_at_1=True)
+        assert np.any(np.asarray(c) != np.asarray(a))
+
 
 def _top_gas_concs():
     from rte_rrtmgp_nn_tpu.gas_concs import GasConcs
