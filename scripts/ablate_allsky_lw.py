@@ -47,6 +47,10 @@ def main() -> None:
     if argv:
         raise SystemExit(f"unrecognized arguments: {argv}")
 
+    from _bench_util import guard_backend
+
+    guard_backend()  # fail fast on a wedged tunnel (CLAUDE.md)
+
     REF = "/root/reference"
     atm = read_garand(os.path.join(REF, "examples/all-sky/garand-atmos-1.nc"),
                       ncol)

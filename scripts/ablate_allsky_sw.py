@@ -18,7 +18,7 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
-from _bench_util import allsky_mega_setup, timed_best  # noqa: E402
+from _bench_util import timed_best  # noqa: E402
 
 
 def main() -> None:
@@ -102,6 +102,9 @@ def main() -> None:
         tdir = jnp.clip(tdir, 0.0, 1.0 - tnoscat - rdir)
         return rdif, tdif, rdir, tdir
 
+    from _bench_util import allsky_mega_fn, allsky_mega_stage
+
+    ctx, args = allsky_mega_stage(ncol, band="sw")  # stage ONCE
     variants = []
     for name, interp, combine, pifm in [
         ("full", real_interp, real_combine, real_pifm),
@@ -115,7 +118,7 @@ def main() -> None:
         SWM._cloud_combine = combine
         SWM._pifm_coeffs = pifm
         try:
-            fn, args = allsky_mega_setup(ncol, band="sw", tile_c=tile_c)
+            fn = allsky_mega_fn(ctx, tile_c=tile_c)  # fresh trace per patch
             ms = timed_best(fn, args)
         except Exception as e:  # noqa: BLE001
             print(f"{name:18s}: FAILED {type(e).__name__}: {str(e)[:160]}",

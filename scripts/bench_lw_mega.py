@@ -44,30 +44,21 @@ def main() -> None:
         i = argv.index("--variants")
         variants = argv[i + 1].split(",")
         argv = argv[:i] + argv[i + 2:]
-    if "--skip-mega" in argv:  # legacy flag
+    if "--skip-mega" in argv:  # legacy flag: drop ALL mega* variants
         argv = [a for a in argv if a != "--skip-mega"]
-        variants = [v for v in variants if v != "mega"]
+        variants = [v for v in variants if not v.startswith("mega")]
     tiles = [int(a) for a in argv] or [32]
     dtype = jnp.float32
+    from _bench_util import guard_backend
+
+    guard_backend()  # fail fast on a wedged tunnel (CLAUDE.md)
     data = read_rfmip(
         "/root/reference/examples/rfmip-clear-sky/"
         "multiple_input4MIPs_radiation_RFMIP_UColorado-RFMIP-1-2_none.nc"
     )
-    if mult > 1:
-        import dataclasses
-        rep = lambda a: np.concatenate([a] * mult, axis=0)
-        data = dataclasses.replace(
-            data,
-            play=rep(data.play), plev=rep(data.plev), tlay=rep(data.tlay),
-            tlev=rep(data.tlev), tsfc=rep(data.tsfc),
-            sfc_emis=rep(data.sfc_emis), sfc_alb=rep(data.sfc_alb),
-            sza=rep(data.sza), tsi=rep(data.tsi),
-            gas_concs=type(data.gas_concs)({
-                k: (rep(v) if getattr(v, "ndim", 0) == 2 else v)
-                for k, v in data.gas_concs.concs.items()
-            }),
-            nexp=data.nexp * mult,
-        )
+    from _bench_util import replicate_rfmip
+
+    data = replicate_rfmip(data, mult)
     ncol = data.ncol
     print(f"ncol = {ncol}", flush=True)
     models = [load_model_netcdf(

@@ -15,7 +15,7 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
-from _bench_util import allsky_mega_setup, timed_best  # noqa: E402
+from _bench_util import allsky_mega_fn, allsky_mega_stage, timed_best  # noqa: E402
 
 
 def main() -> None:
@@ -24,8 +24,9 @@ def main() -> None:
     ncol = int(sys.argv[1]) if len(sys.argv) > 1 else 28800
     tiles = [int(t) for t in sys.argv[2:]] or [32, 48, 64]
     print(f"ncol = {ncol}", flush=True)
+    ctx, args = allsky_mega_stage(ncol, band="sw")  # stage ONCE
     for tile in tiles:
-        fn, args = allsky_mega_setup(ncol, band="sw", tile_c=tile)
+        fn = allsky_mega_fn(ctx, tile_c=tile)
         try:
             ms = timed_best(fn, args)
         except Exception as e:  # noqa: BLE001

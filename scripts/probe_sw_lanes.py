@@ -46,21 +46,15 @@ def main() -> None:
     # 39.5 vs 25.0 ms measurement (docs/PERFORMANCE.md)
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     tile = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    from _bench_util import guard_backend
+
+    guard_backend()  # fail fast on a wedged tunnel (CLAUDE.md)
     data = read_rfmip(
         "/root/reference/examples/rfmip-clear-sky/"
         "multiple_input4MIPs_radiation_RFMIP_UColorado-RFMIP-1-2_none.nc")
-    if mult > 1:
-        import dataclasses
-        rep = lambda a: np.concatenate([a] * mult, axis=0)
-        data = dataclasses.replace(
-            data, play=rep(data.play), plev=rep(data.plev),
-            tlay=rep(data.tlay), tlev=rep(data.tlev), tsfc=rep(data.tsfc),
-            sfc_emis=rep(data.sfc_emis), sfc_alb=rep(data.sfc_alb),
-            sza=rep(data.sza), tsi=rep(data.tsi),
-            gas_concs=type(data.gas_concs)({
-                k: (rep(v) if getattr(v, "ndim", 0) == 2 else v)
-                for k, v in data.gas_concs.concs.items()}),
-            nexp=data.nexp * mult)
+    from _bench_util import replicate_rfmip
+
+    data = replicate_rfmip(data, mult)
     ncol = data.ncol
     D = "/root/reference/neural/data/"
     models = [load_model_netcdf(D + "sw-g112-210809_absorption_BEST.nc"),

@@ -59,17 +59,27 @@ def main() -> int:
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
     from test_lut_gas_optics import GASES, make_atmosphere
 
-    if args.kdist_lw and args.kdist_sw:
+    # each band takes its real file when given, synthetic otherwise -- a
+    # single supplied file must be USED, not silently dropped
+    d = None
+    if args.kdist_lw:
         kd_lw = load_kdist(args.kdist_lw, GASES)
-        kd_sw = load_kdist(args.kdist_sw, GASES)
-        print(f"k-distributions: {args.kdist_lw}, {args.kdist_sw}")
+        print(f"LW k-distribution: {args.kdist_lw}")
     else:
-        d = tempfile.mkdtemp()
-        plw, psw = os.path.join(d, "lw.nc"), os.path.join(d, "sw.nc")
+        d = d or tempfile.mkdtemp()
+        plw = os.path.join(d, "lw.nc")
         generate_kdist_nc(plw, kind="lw", gpts_per_band=4, nband=16)
+        kd_lw = load_kdist(plw, GASES)
+        print("LW k-distribution: synthetic (gasoptics/synthetic.py)")
+    if args.kdist_sw:
+        kd_sw = load_kdist(args.kdist_sw, GASES)
+        print(f"SW k-distribution: {args.kdist_sw}")
+    else:
+        d = d or tempfile.mkdtemp()
+        psw = os.path.join(d, "sw.nc")
         generate_kdist_nc(psw, kind="sw", gpts_per_band=4, nband=14)
-        kd_lw, kd_sw = load_kdist(plw, GASES), load_kdist(psw, GASES)
-        print("k-distributions: synthetic (reference-format, gasoptics/synthetic.py)")
+        kd_sw = load_kdist(psw, GASES)
+        print("SW k-distribution: synthetic (gasoptics/synthetic.py)")
 
     play, plev, tlay, tlev, tsfc, gc = make_atmosphere(ncol=args.ncol, nlay=args.nlay)
     emis = jnp.full((args.ncol, kd_lw.nband), 0.97, play.dtype)

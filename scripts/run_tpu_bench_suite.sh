@@ -18,7 +18,12 @@ run() {
   local line rc
   line=$(set -o pipefail; timeout "${STEP_TIMEOUT:-1200}" "$@" 2>/dev/null | tail -1)
   rc=$?
-  echo "{\"step\": \"$label\", \"rc\": $rc, \"wall_s\": $((SECONDS-t0)), \"tunnel\": ${probe:-null}, \"result\": ${line:-null}}" >> "$OUT"
+  # keep the jsonl machine-readable: non-JSON last lines (stray prints,
+  # partial output from a killed step) become null instead of corrupting
+  # the row
+  probe=$(python -c 'import json,sys; s=sys.argv[1]; json.loads(s); print(s)' "${probe:-null}" 2>/dev/null || echo null)
+  line=$(python -c 'import json,sys; s=sys.argv[1]; json.loads(s); print(s)' "${line:-null}" 2>/dev/null || echo null)
+  echo "{\"step\": \"$label\", \"rc\": $rc, \"wall_s\": $((SECONDS-t0)), \"tunnel\": $probe, \"result\": $line}" >> "$OUT"
   echo "$label rc=$rc probe=${probe:-null} ${line:0:160}" >&2
 }
 

@@ -1,11 +1,13 @@
 """Summarize a jax.profiler trace: per-op device time, aggregated by name.
 
-Usage: python scripts/trace_summarize.py <trace_dir_or_json.gz> [top_n]
+Usage: python scripts/trace_summarize.py <trace_dir_or_json.gz> [top_n] [iters]
 
 Reads the newest plugins/profile/*/‌*.trace.json.gz under the given
-directory, keeps events on TPU/device tracks (pid names containing
-"TPU"/"/device:"), divides totals by the number of occurrences of the
-outermost jit step to report per-call microseconds.
+directory and keeps events on TPU/device tracks (pid names containing
+"TPU"/"/device:"). Totals are RAW SUMS over every traced iteration; pass
+``iters`` (the loop count of the capture script, e.g. 10 for
+trace_lw/sw/allsky_sw.py) to additionally print per-call totals --
+without it, do NOT compare 'total device time' against per-call anchors.
 """
 from __future__ import annotations
 
@@ -31,6 +33,7 @@ def load_trace(path: str) -> dict:
 def main() -> None:
     path = sys.argv[1]
     top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else None
     trace = load_trace(path)
     events = trace["traceEvents"]
 
@@ -63,7 +66,9 @@ def main() -> None:
         total += dur
 
     print(f"pids (device): { {p: pid_names[p] for p in device_pids} }")
-    print(f"total device time: {total/1e3:.3f} ms")
+    print(f"total device time: {total/1e3:.3f} ms"
+          + (f"  ({total/1e3/iters:.3f} ms/call over {iters} iters)"
+             if iters else "  (sum over ALL traced iterations)"))
     print(f"{'op':<64} {'total_us':>10} {'n':>5} {'us/ea':>9}")
     for name, d in sorted(durs.items(), key=lambda kv: -kv[1])[:top_n]:
         print(f"{name[:64]:<64} {d:10.1f} {counts[name]:5d} "

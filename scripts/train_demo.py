@@ -149,7 +149,8 @@ def main() -> int:
     @jax.jit
     def flux_of(model):
         tau, pfrac = predict_nn_lw([model], x_full, col_dry, use_pallas=False)
-        lay, lev, sfc, jacs = compute_planck_source_nn(pfrac, tlay, tlev, tsfc, spec, table)
+        lay, lev, sfc, jacs = compute_planck_source_nn(
+            pfrac, tlay, tlev, tsfc, spec, table, top_at_1=data.top_at_1)
         sources = SourceFuncLW(lay, lev, sfc, jacs, spec)
         sol = rte_lw(OpticalProps1scl(tau, spec), data.top_at_1, sources, emis, broadband=True)
         return sol.flux_up, sol.flux_dn
