@@ -263,6 +263,25 @@ def _dot3split(x, oh):
             + jnp.dot(lo, oh, preferred_element_type=f32))
 
 
+def _dot2split(x, oh):
+    """2-term variant of ``_dot3split``: drops the lo term (7.5e-6
+    relative on the MXU -- the probed 2-term table-split error; exact on
+    CPU where the dot is f32). Round-5 chip numbers
+    (scripts/probe_band_expand.py, 28.8k cols): the SW all-sky kernel's
+    three cloud expansions cost 18.39 -> 16.15 ms with a max per-column
+    flux delta of 2.5e-3 W/m2 (25x under the accepted mixed-precision
+    bound); every EXACT reformulation tried (packed-K single pass,
+    explicit-bf16 3-pass, lane broadcast/concat, jnp.repeat) measured
+    SLOWER or failed to compile -- the cost is per-dot operand relayout,
+    not MXU passes. The LW kernel's single expansion site is a wash
+    (+-0.05 ms), so LW keeps the exact 3-term form."""
+    f32 = jnp.float32
+    hi = x.astype(jnp.bfloat16).astype(f32)
+    mid = x - hi
+    return (jnp.dot(hi, oh, preferred_element_type=f32)
+            + jnp.dot(mid, oh, preferred_element_type=f32))
+
+
 def cloud_lut_pack(co):
     """Host-side prep for IN-KERNEL cloud optics: per phase (liquid, ice)
     the combined [ext|ssa|asy | forward diffs] LUT block split into three
