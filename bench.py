@@ -102,6 +102,51 @@ def ensure_live_backend(probe_timeout_s: int | None = None,
 BASELINE_COLS_PER_S = 1800.0 / (0.1834 + 0.2710)  # reference Intel CPU LW+SW
 
 
+def timed_resident_slope(fn, args, k_lo=50, k_hi=450, reps=3):
+    """Per-iteration DEVICE time of ``fn(*args)`` via two device-resident
+    ``fori_loop`` timings: slope (T_hi - T_lo)/(k_hi - k_lo).
+
+    Round-5 decomposition (docs/PERFORMANCE.md): one dispatch+sync through
+    the TPU tunnel costs a FIXED ~26 ms regardless of program size, so the
+    old enqueue-20-block-once methodology reads 0.6 ms of device work as
+    1.73 ms at 1800 cols. Running K iterations inside ONE jitted fori_loop
+    pays the fixed cost once; differencing two K values cancels it exactly.
+    Float inputs are perturbed by ``i * 1e-30`` inside the loop (absorbed
+    in f32 -> results bit-identical) so XLA cannot hoist the loop-invariant
+    staging ops; the carry consumes a sum of the first output leaf so
+    nothing dead-codes."""
+    import jax
+    import jax.numpy as jnp
+
+    flat, treedef = jax.tree_util.tree_flatten(args)
+    is_f = [hasattr(lf, "dtype") and jnp.issubdtype(lf.dtype, jnp.floating)
+            for lf in flat]
+
+    def make(k):
+        @jax.jit
+        def resident(*fl):
+            def body(i, acc):
+                p = [lf + i * jnp.asarray(1e-30, lf.dtype) if f else lf
+                     for lf, f in zip(fl, is_f)]
+                out = fn(*jax.tree_util.tree_unflatten(treedef, p))
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                return acc + jnp.sum(leaf).astype(jnp.float32)
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+        return resident
+
+    times = []
+    for k in (k_lo, k_hi):
+        r = make(k)
+        jax.block_until_ready(r(*flat))  # compile
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(r(*flat))
+            best = min(best, time.perf_counter() - t0)
+        times.append(best)
+    return max((times[1] - times[0]) / (k_hi - k_lo), 1e-9)
+
+
 def main() -> None:
     backend_status = ensure_live_backend()
     import jax
@@ -220,10 +265,26 @@ def main() -> None:
             best = min(best, (time.perf_counter() - t0) / n_iter)
         return best
 
-    elapsed = timed([(lw_fn, lw_args), (sw_fn, sw_args)])
-    lw_elapsed = timed([(lw_fn, lw_args)])
-    sw_elapsed = timed([(sw_fn, sw_args)])
+    lw_percall = timed([(lw_fn, lw_args)])
+    sw_percall = timed([(sw_fn, sw_args)])
     lw = lw_fn(*lw_args)
+
+    if jax.default_backend() == "tpu":
+        # Headline = device-resident loop slope: the tunnel charges a fixed
+        # ~26 ms per dispatch+sync, which the 20-iter enqueue smears into
+        # every per-call number (+~1.3 ms/call); the slope cancels it and
+        # measures what the CHIP does per batch (docs/PERFORMANCE.md).
+        lw_elapsed = timed_resident_slope(lw_fn, lw_args)
+        sw_elapsed = timed_resident_slope(sw_fn, sw_args)
+        timing = ("device-resident fori_loop slope K=50..450 (cancels the "
+                  "tunnel's fixed dispatch cost); *_ms_percall = 20-iter "
+                  "enqueue incl. amortized dispatch")
+    else:
+        # CPU: per-call dispatch overhead is negligible and a 450-iter
+        # resident loop would take minutes; keep the enqueue timing.
+        lw_elapsed, sw_elapsed = lw_percall, sw_percall
+        timing = "20-iter enqueue (cpu)"
+    elapsed = lw_elapsed + sw_elapsed
 
     cols_per_s = ncol / elapsed
     result = {
@@ -233,6 +294,9 @@ def main() -> None:
         "vs_baseline": round(cols_per_s / BASELINE_COLS_PER_S, 2),
         "lw_ms": round(lw_elapsed * 1e3, 2),
         "sw_ms": round(sw_elapsed * 1e3, 2),
+        "lw_ms_percall": round(lw_percall * 1e3, 2),
+        "sw_ms_percall": round(sw_percall * 1e3, 2),
+        "timing": timing,
         "ncol": ncol,
         "vs_baseline_lw": round((ncol / lw_elapsed) / (1800.0 / 0.1834), 2),
         "vs_baseline_sw": round((ncol / sw_elapsed) / (1800.0 / 0.2710), 2),

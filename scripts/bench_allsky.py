@@ -23,7 +23,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 # Persistent XLA compile cache (see bench.py): tunnel compiles are slow.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
-from bench import ensure_live_backend  # noqa: E402  (tunnel-wedge guard)
+from bench import (  # noqa: E402  (tunnel-wedge guard + slope timer)
+    ensure_live_backend,
+    timed_resident_slope,
+)
 
 REF = "/root/reference"
 GARAND = os.path.join(REF, "examples/all-sky/garand-atmos-1.nc")
@@ -158,8 +161,18 @@ def main() -> int:
             best = min(best, (time.perf_counter() - t0) / n_iter)
         return best
 
-    t_lw = timed(lw_fn, lw_args)
-    t_sw = timed(sw_fn, sw_args)
+    t_lw_percall = timed(lw_fn, lw_args)
+    t_sw_percall = timed(sw_fn, sw_args)
+    if jax.default_backend() == "tpu":
+        # Headline = device-resident fori_loop slope (see bench.py): the
+        # tunnel's fixed ~26 ms dispatch cost otherwise pollutes every
+        # per-call number by ~1.3 ms at 20 iters.
+        t_lw = timed_resident_slope(lw_fn, lw_args)
+        t_sw = timed_resident_slope(sw_fn, sw_args)
+        timing = "device-resident fori_loop slope K=50..450"
+    else:
+        t_lw, t_sw = t_lw_percall, t_sw_percall
+        timing = "20-iter enqueue (cpu)"
     result = {
         "metric": "allsky_lw_sw_columns_per_s_per_chip",
         "value": round(ncol / (t_lw + t_sw), 1),
@@ -169,6 +182,9 @@ def main() -> int:
                 ("mega" if use_mega_sw else "staged"),
         "lw_ms": round(t_lw * 1e3, 3),
         "sw_ms": round(t_sw * 1e3, 3),
+        "lw_ms_percall": round(t_lw_percall * 1e3, 3),
+        "sw_ms_percall": round(t_sw_percall * 1e3, 3),
+        "timing": timing,
         "lw_mean_dn": round(float(np.mean(np.asarray(flw.flux_dn))), 3),
         "lw_mean_up": round(float(np.mean(np.asarray(flw.flux_up))), 3),
         "sw_mean_dn": round(float(np.mean(np.asarray(fsw.flux_dn))), 3),
