@@ -193,8 +193,10 @@ def main() -> None:
     # interpret mode would distort timings).
     use_mega = jax.default_backend() == "tpu"
     if use_mega:
-        lw_core = functools.partial(_lw_core_mega4_canon, tile_c=32)
-        sw_core = functools.partial(_sw_core_mega_canon, tile_c=48)
+        # tile_c=None -> driver policy picks a tile DIVIDING ncol
+        # (pick_tile_c; kills the fused-input ceil-pad copy at 1800 cols)
+        lw_core = functools.partial(_lw_core_mega4_canon, tile_c=None)
+        sw_core = functools.partial(_sw_core_mega_canon, tile_c=None)
     else:
         lw_core, sw_core = _lw_core_lay_major, _sw_core_lay_major
     lw_fn = jax.jit(

@@ -258,7 +258,7 @@ def _allsky_lw_core_mega(
     models, table, spectral, cloud_co,
     play_t, plev_t, tlay_t, tlev_t, tsfc, emis_band,
     lwp_t, iwp_t, rel_t, rei_t, concs_t,
-    top_at_1, tile_c: int = 32,
+    top_at_1, tile_c: int | None = None,
 ):
     """All-sky LW through the fused mega4 kernel: the band-resolved cloud
     absorption tau rides nband extra input lanes and folds into the gas tau
@@ -273,10 +273,14 @@ def _allsky_lw_core_mega(
         compute_nn_inputs_split,
         get_col_dry_lay_major,
     )
-    from ..ops.pallas.lw_megakernel import lw_clearsky_mega4
+    from ..ops.pallas.lw_megakernel import lw_clearsky_mega4, pick_tile_c
 
     gas_desc = GasConcs(concs_t)
     nlay, ncol = play_t.shape
+    if tile_c is None:
+        # prefer a DIVIDING tile (r5s3: 0.732 @32 -> 0.702 @72 at 1800
+        # cols, bit-identical; 28.8k keeps 32)
+        tile_c = pick_tile_c(ncol, 32, (72, 48, 40, 24, 16, 8))
     col_dry = get_col_dry_lay_major(
         gas_desc.get_vmr("h2o", nlay, ncol), plev_t)
     x2d, const_feats, perm = compute_nn_inputs_split(
@@ -319,10 +323,10 @@ def _allsky_sw_core_mega(
     models, spectral, solar, cloud_co,
     play_t, plev_t, tlay_t, mu0, sfc_alb_dir, sfc_alb_dif,
     lwp_t, iwp_t, rel_t, rei_t, concs_t,
-    top_at_1, tile_c: int = 32,  # 32..64 a wash since the 100 MiB vmem
-                                 # raise (chip probe r5: 18.90/18.90/18.76
-                                 # ms at 28.8k; the old "48 OOMs" predated
-                                 # the limit raise)
+    top_at_1, tile_c: int | None = None,
+    # 32..64 a wash at 28.8k since the 100 MiB vmem raise (chip probe r5:
+    # 18.90/18.90/18.76 ms; the old "48 OOMs" predated the limit raise);
+    # None prefers a DIVIDING tile (r5s3: 0.945 @32 -> 0.902 @40 at 1800)
 ):
     """All-sky SW through the fused megakernel: the three delta-scaled
     cloud 2-stream products ride 3*nband extra lanes and combine with the
@@ -337,10 +341,15 @@ def _allsky_sw_core_mega(
         compute_nn_inputs_split,
         get_col_dry_lay_major,
     )
+    from ..ops.pallas.lw_megakernel import pick_tile_c
     from ..ops.pallas.sw_megakernel import sw_clearsky_megakernel
 
     gd_t = GasConcs(concs_t)
     nlay, ncol = play_t.shape
+    if tile_c is None:
+        # VMEM-conservative candidates (3*nband cloud lanes); 40 measured
+        # best at 1800 (0.945 @32 -> 0.902), 32 kept where it divides
+        tile_c = pick_tile_c(ncol, 32, (40, 24, 16, 8))
     col_dry_t = get_col_dry_lay_major(
         gd_t.get_vmr("h2o", nlay, ncol), plev_t)
     x2d, const_feats, perm = compute_nn_inputs_split(

@@ -152,8 +152,12 @@ def _lw_core_mega4_canon(
     nlay, ncol = play_t.shape
     if tile_c is None:
         # measured crossover (interp-cat kernel): 1800 cols 1.79 ms @32 vs
-        # 1.82 @64; 57.6k 20.56 @32 vs 20.04 @64
-        tile_c = 32 if ncol < 16384 else 64
+        # 1.82 @64; 57.6k 20.56 @32 vs 20.04 @64. r5s3: prefer a tile that
+        # DIVIDES ncol (kills the fused-input ceil-pad copy; at 1800 cols
+        # tile 120 is 0.599 -> 0.540 ms, bit-identical -- pick_tile_c).
+        from ..ops.pallas.lw_megakernel import pick_tile_c
+        tile_c = pick_tile_c(ncol, 32 if ncol < 16384 else 64,
+                             (120, 96, 72, 64, 48, 40, 24, 16, 8))
     col_dry = get_col_dry_lay_major(
         gas_desc.get_vmr("h2o", nlay, ncol), plev_t)
     x2d, const_feats, perm = compute_nn_inputs_split(
@@ -248,8 +252,12 @@ def _sw_core_mega_canon(
     nlay, ncol = play_t.shape
     if tile_c is None:
         # measured crossover (lane-stack kernel): 1800 cols 2.27 ms @32 vs
-        # 2.34 @48; 57.6k 28.2 @32 vs 28.2 @64 vs 28.8 @48, 32.1 @128
-        tile_c = 32 if ncol < 16384 else 64
+        # 2.34 @48; 57.6k 28.2 @32 vs 28.2 @64 vs 28.8 @48, 32.1 @128.
+        # r5s3: prefer a DIVIDING tile (SW @1800: 0.754 @48 -> 0.727 @72,
+        # bit-identical; 120 measured worse, excluded -- pick_tile_c).
+        from ..ops.pallas.lw_megakernel import pick_tile_c
+        tile_c = pick_tile_c(ncol, 32 if ncol < 16384 else 64,
+                             (72, 64, 48, 40, 24, 16, 8))
     col_dry_t = get_col_dry_lay_major(
         gd_t.get_vmr("h2o", nlay, ncol), plev_t)
     # per-lane scaled 2-D features + ONE fused concat in the kernel
@@ -472,7 +480,9 @@ def _lw_core_mega4(
     gas_desc = GasConcs(concs_dict)
     ncol, nlay = play.shape
     if tile_c is None:
-        tile_c = 32 if ncol < 16384 else 64  # see _lw_core_mega4_canon
+        from ..ops.pallas.lw_megakernel import pick_tile_c
+        tile_c = pick_tile_c(ncol, 32 if ncol < 16384 else 64,
+                             (120, 96, 72, 64, 48, 40, 24, 16, 8))
 
     if not top_at_1:
         play, tlay = play[:, ::-1], tlay[:, ::-1]
@@ -632,7 +642,7 @@ def rfmip_clear_sky_lw(
             data)
         core = functools.partial(
             _lw_core_mega4_canon, models, planck_table, spectral,
-            top_at_1=data.top_at_1, tile_c=32,
+            top_at_1=data.top_at_1, tile_c=None,
         )
         return jax.jit(core)(
             jnp.asarray(play_t, dtype), jnp.asarray(plev_t, dtype),
@@ -757,7 +767,7 @@ def _sw_core_mega(
     solar_source,
     play, plev, tlay, sfc_alb, mu0, usecol, tsi, concs_dict,
     top_at_1: bool,
-    tile_c: int = 64,
+    tile_c: int | None = None,
     sweep_stored: bool = False,
 ):
     """Fully-fused SW core (ops/pallas/sw_megakernel.sw_clearsky_megakernel):
@@ -769,10 +779,14 @@ def _sw_core_mega(
         compute_nn_inputs_split,
         get_col_dry,
     )
+    from ..ops.pallas.lw_megakernel import pick_tile_c
     from ..ops.pallas.sw_megakernel import sw_clearsky_megakernel
 
     gas_desc = GasConcs(concs_dict)
     ncol, nlay = play.shape
+    if tile_c is None:
+        tile_c = pick_tile_c(ncol, 32 if ncol < 16384 else 64,
+                             (72, 64, 48, 40, 24, 16, 8))
 
     if not top_at_1:
         play, tlay, plev = play[:, ::-1], tlay[:, ::-1], plev[:, ::-1]

@@ -282,6 +282,24 @@ def _dot2split(x, oh):
             + jnp.dot(mid, oh, preferred_element_type=f32))
 
 
+def pick_tile_c(ncol: int, default: int, candidates: tuple) -> int:
+    """Choose the Pallas grid column tile: keep ``default`` when it divides
+    ``ncol`` (28.8k/57.6k), else the first measured-preference candidate
+    that does. A non-dividing tile makes every fused input pay a ceil-pad
+    copy (XLA pad of (nlay, ncol, lanes) to the tile multiple): at 1800
+    cols that pad is 78 us of the LW core's 593 us device time (r5s3
+    profiler trace + resident-slope tile probe: LW 0.599 ms @32 -> 0.540
+    @120, SW 0.754 @48 -> 0.727 @72, all-sky LW 0.732 @32 -> 0.702 @72,
+    all-sky SW 0.945 @32 -> 0.902 @40; fluxes bit-identical). Falls back
+    to ``default`` (ragged last tile) when nothing divides."""
+    if ncol % default == 0:
+        return default
+    for t in candidates:
+        if ncol % t == 0:
+            return t
+    return default
+
+
 def cloud_lut_pack(co):
     """Host-side prep for IN-KERNEL cloud optics: per phase (liquid, ice)
     the combined [ext|ssa|asy | forward diffs] LUT block split into three

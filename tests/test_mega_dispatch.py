@@ -308,3 +308,30 @@ class TestAllskyLWRegime:
         # regime (2.03 vs 3.16 ms at 1800), so the measured threshold is 0
         # (see the module comment; raise only with a fresh measurement)
         assert allsky_mod.ALLSKY_LW_MEGA_MIN_NCOL == 0
+
+
+class TestPickTileC:
+    """r5s3 divisor-aware tile policy: a non-dividing tile makes every
+    fused megakernel input pay a ceil-pad copy (78 us of the LW core's
+    593 us device time at 1800 cols -- docs/PERFORMANCE.md)."""
+
+    def test_keeps_default_when_it_divides(self):
+        from rte_rrtmgp_nn_tpu.ops.pallas.lw_megakernel import pick_tile_c
+
+        assert pick_tile_c(28800, 32, (72, 48, 40, 24, 16, 8)) == 32
+        assert pick_tile_c(57600, 64, (120, 96, 72, 64, 48, 40)) == 64
+
+    def test_prefers_first_dividing_candidate(self):
+        from rte_rrtmgp_nn_tpu.ops.pallas.lw_megakernel import pick_tile_c
+
+        # 1800 % 32 != 0; 120 is the measured-best divider for LW
+        assert pick_tile_c(1800, 32, (120, 96, 72, 64, 48, 40, 24)) == 120
+        # all-sky SW keeps a VMEM-conservative list -> 40 at 1800
+        assert pick_tile_c(1800, 32, (40, 24, 16, 8)) == 40
+
+    def test_falls_back_to_default_ragged(self):
+        from rte_rrtmgp_nn_tpu.ops.pallas.lw_megakernel import pick_tile_c
+
+        # a prime ncol divides nothing: keep the default, ragged last tile
+        assert pick_tile_c(1801, 32, (120, 96, 72, 64, 48, 40, 24)) == 32
+        assert pick_tile_c(1, 32, (40, 24, 16, 8)) == 32
